@@ -1,0 +1,63 @@
+"""Multi-scale spectral (MSS) reconstruction loss.
+
+Behavioral parity target: reference loss/mss_loss.py:11-68 --
+per-scale loss = L1(|S|^2) + alpha * L1(log2(|S|^2 + eps)) with
+torchaudio-Spectrogram conventions (power-2 magnitudes, hop = n_fft * (1 -
+overlap), centered reflect padding, periodic Hann), summed over FFT sizes.
+
+Functional: ``mss_loss(pred, true, ffts=...)``; also returns per-scale terms
+for metrics.  Differentiable end-to-end; all framing/FFT work runs on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence, Tuple
+
+import jax.numpy as jnp
+
+from ddsp_tpu.ops.spectral import spectrogram
+
+DEFAULT_FFTS: Tuple[int, ...] = (2048, 1024, 512, 256, 128, 64)
+
+
+def sss_loss(
+    pred: jnp.ndarray,
+    true: jnp.ndarray,
+    n_fft: int,
+    alpha: float = 1.0,
+    overlap: float = 0.75,
+    eps: float = 1e-7,
+) -> jnp.ndarray:
+    """Single-scale spectral loss (reference loss/mss_loss.py:11-33)."""
+    hop = int(n_fft * (1 - overlap))
+    s_pred = spectrogram(pred, n_fft, hop)
+    s_true = spectrogram(true, n_fft, hop)
+    linear_term = jnp.mean(jnp.abs(s_pred - s_true))
+    log_term = jnp.mean(
+        jnp.abs(jnp.log2(s_true + eps) - jnp.log2(s_pred + eps))
+    )
+    return linear_term + alpha * log_term
+
+
+def mss_loss(
+    pred: jnp.ndarray,
+    true: jnp.ndarray,
+    ffts: Sequence[int] = DEFAULT_FFTS,
+    alpha: float = 1.0,
+    overlap: float = 0.75,
+    eps: float = 1e-7,
+) -> jnp.ndarray:
+    """Multi-scale spectral loss (reference loss/mss_loss.py:36-68)."""
+    return sum(sss_loss(pred, true, n, alpha, overlap, eps) for n in ffts)
+
+
+def mss_loss_per_scale(
+    pred: jnp.ndarray,
+    true: jnp.ndarray,
+    ffts: Sequence[int] = DEFAULT_FFTS,
+    alpha: float = 1.0,
+    overlap: float = 0.75,
+    eps: float = 1e-7,
+) -> Dict[str, jnp.ndarray]:
+    """Per-scale loss terms, for structured training metrics."""
+    return {f"mss_{n}": sss_loss(pred, true, n, alpha, overlap, eps) for n in ffts}

@@ -1,0 +1,216 @@
+"""CREPE pitch CNN in JAX, with PyTorch checkpoint conversion.
+
+Parity target: the reference CREPE port (reference: crepe/crepe.py:10-131):
+six [pad -> conv(stride 4 then 1) -> ReLU -> BatchNorm(eps=1e-3) -> maxpool
+(2,1)] stages over 1024-sample windows, then a sigmoid classifier over 360
+pitch bins.  The reference treats audio as a (H, W=1) image; here the conv
+stack is expressed natively as 1-D convolutions over time, which XLA lowers
+onto the TPU MXU as batched matmuls.
+
+Supports both 'tiny' (shipped, 487k params) and 'full' capacities; weights
+convert from the reference ``.pth`` state dicts (convN.weight (O, I, k, 1) ->
+(O, I, k), BatchNorm running stats carried as inference constants).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PITCH_BINS = 360
+CENTS_PER_BIN = 20
+WINDOW_SIZE = 1024
+BN_EPS = 0.0010000000474974513  # MMdnn-converted epsilon (crepe/crepe.py:33-35)
+
+CAPACITIES = {
+    "full": {
+        "in_channels": [1, 1024, 128, 128, 128, 256],
+        "out_channels": [1024, 128, 128, 128, 256, 512],
+        "in_features": 2048,
+    },
+    "tiny": {
+        "in_channels": [1, 128, 16, 16, 16, 32],
+        "out_channels": [128, 16, 16, 16, 32, 64],
+        "in_features": 256,
+    },
+}
+KERNEL_SIZES = [512] + 5 * [64]
+STRIDES = [4] + 5 * [1]
+PADS = [(254, 254)] + 5 * [(31, 32)]
+
+
+def crepe_init(key: jax.Array, capacity: str = "tiny") -> Dict:
+    """Random init (only used for tests / from-scratch training)."""
+    spec = CAPACITIES[capacity]
+    layers: List[Dict] = []
+    for i in range(6):
+        key, kw, kb = jax.random.split(key, 3)
+        c_in, c_out, k = spec["in_channels"][i], spec["out_channels"][i], KERNEL_SIZES[i]
+        bound = 1.0 / np.sqrt(c_in * k)
+        layers.append(
+            {
+                "weight": jax.random.uniform(kw, (c_out, c_in, k), jnp.float32, -bound, bound),
+                "bias": jax.random.uniform(kb, (c_out,), jnp.float32, -bound, bound),
+                "bn": {
+                    "weight": jnp.ones((c_out,)),
+                    "bias": jnp.zeros((c_out,)),
+                    "mean": jnp.zeros((c_out,)),
+                    "var": jnp.ones((c_out,)),
+                },
+            }
+        )
+    key, kw, kb = jax.random.split(key, 3)
+    nf = spec["in_features"]
+    bound = 1.0 / np.sqrt(nf)
+    classifier = {
+        "weight": jax.random.uniform(kw, (PITCH_BINS, nf), jnp.float32, -bound, bound),
+        "bias": jax.random.uniform(kb, (PITCH_BINS,), jnp.float32, -bound, bound),
+    }
+    return {"layers": layers, "classifier": classifier}
+
+
+def load_torch_checkpoint(path: str) -> Dict:
+    """Convert a reference CREPE ``.pth`` state dict to a JAX param pytree.
+
+    Handles the key layout of crepe/pretrained/tiny.pth:
+    ``convN.{weight,bias}``, ``convN_BN.{weight,bias,running_mean,
+    running_var}``, ``classifier.{weight,bias}``.
+    """
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    to_np = lambda k: sd[k].numpy().astype(np.float32)
+    layers = []
+    for i in range(1, 7):
+        layers.append(
+            {
+                "weight": jnp.asarray(to_np(f"conv{i}.weight")[..., 0]),  # (O,I,k,1)->(O,I,k)
+                "bias": jnp.asarray(to_np(f"conv{i}.bias")),
+                "bn": {
+                    "weight": jnp.asarray(to_np(f"conv{i}_BN.weight")),
+                    "bias": jnp.asarray(to_np(f"conv{i}_BN.bias")),
+                    "mean": jnp.asarray(to_np(f"conv{i}_BN.running_mean")),
+                    "var": jnp.asarray(to_np(f"conv{i}_BN.running_var")),
+                },
+            }
+        )
+    classifier = {
+        "weight": jnp.asarray(to_np("classifier.weight")),
+        "bias": jnp.asarray(to_np("classifier.bias")),
+    }
+    return {"layers": layers, "classifier": classifier}
+
+
+def _layer(x: jnp.ndarray, p: Dict, stride: int, pad) -> jnp.ndarray:
+    """pad -> conv1d -> relu -> inference BN -> maxpool(2, stride 2)."""
+    x = jnp.pad(x, ((0, 0), (0, 0), pad))
+    x = jax.lax.conv_general_dilated(
+        x,
+        p["weight"],
+        window_strides=(stride,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    x = x + p["bias"][None, :, None]
+    x = jax.nn.relu(x)
+    bn = p["bn"]
+    scale = bn["weight"] * jax.lax.rsqrt(bn["var"] + BN_EPS)
+    x = (x - bn["mean"][None, :, None]) * scale[None, :, None] + bn["bias"][None, :, None]
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 1, 2), (1, 1, 2), "VALID"
+    )
+
+
+def crepe_embed(params: Dict, frames: jnp.ndarray) -> jnp.ndarray:
+    """First five conv stages: (B, 1024) audio windows -> (B, C5, 8) features.
+
+    Matches reference ``Crepe.embed`` (crepe/crepe.py:108-120).
+    """
+    x = frames[:, None, :]  # (B, 1, 1024)
+    for i in range(5):
+        x = _layer(x, params["layers"][i], STRIDES[i], PADS[i])
+    return x
+
+
+def crepe_forward(params: Dict, frames: jnp.ndarray, embed: bool = False) -> jnp.ndarray:
+    """(B, 1024) windows -> (B, 360) sigmoid pitch-bin probabilities.
+
+    Matches reference ``Crepe.forward`` (crepe/crepe.py:90-104), including the
+    h-major flatten order of the final (B, C, H) feature map.
+    """
+    x = crepe_embed(params, frames)
+    if embed:
+        return x
+    x = _layer(x, params["layers"][5], STRIDES[5], PADS[5])  # (B, C, 4)
+    b, c, h = x.shape
+    x = jnp.moveaxis(x, 1, 2).reshape(b, h * c)  # h-major like torch permute
+    logits = x @ params["classifier"]["weight"].T + params["classifier"]["bias"]
+    return jax.nn.sigmoid(logits)
+
+
+def crepe_activation(params: Dict, frames: jnp.ndarray, layer_index: int) -> jnp.ndarray:
+    """Intermediate activation after conv stage ``layer_index`` (0-based, <6).
+
+    Used by the DeepDream experiment (reference: trajectory.py:18-41 uses a
+    forward hook; here the functional stack just returns the activation).
+    """
+    x = frames[:, None, :]
+    for i in range(layer_index + 1):
+        x = _layer(x, params["layers"][i], STRIDES[i], PADS[i])
+    return x
+
+
+# --- pitch decoding ----------------------------------------------------------
+def cents_map(bins) -> jnp.ndarray:
+    """Pitch-bin index -> cents (reference encoder.py:39-41)."""
+    return bins * CENTS_PER_BIN + 1997.3794084376191
+
+
+def freq_map(cents) -> jnp.ndarray:
+    """Cents -> Hz (reference encoder.py:46-48)."""
+    return 10 * 2 ** (cents / 1200)
+
+
+def pitch_argmax(probabilities: jnp.ndarray):
+    """Argmax pitch decode (reference encoder.py:120-128).
+
+    Args:
+      probabilities: (..., 360).
+
+    Returns:
+      (freq, harmonicity, normalized_cents), each (..., 1).
+    """
+    bins = jnp.argmax(probabilities, axis=-1, keepdims=True)
+    cents = cents_map(bins.astype(probabilities.dtype))
+    freq = freq_map(cents)
+    harmonicity = jnp.take_along_axis(probabilities, bins, axis=-1)
+    normalized_cents = bins.astype(probabilities.dtype) / 359.0
+    return freq, harmonicity, normalized_cents
+
+
+def pitch_weighted(probabilities: jnp.ndarray):
+    """Local weighted-average decode around the argmax bin.
+
+    Parity with the reference's (unused but present) ``pitch_weighted`` /
+    ``pitch_centered`` (encoder.py:91-118): average cents of bins within
+    +-4 of the argmax, weighted by probability (zero-padded at the edges).
+    """
+    center = jnp.argmax(probabilities, axis=-1, keepdims=True)  # (..., 1)
+    offsets = jnp.arange(-4, 5)
+    padded = jnp.pad(
+        probabilities, [(0, 0)] * (probabilities.ndim - 1) + [(4, 4)]
+    )
+    idx = center + offsets + 4  # (..., 9) via broadcast
+    values = jnp.take_along_axis(padded, idx, axis=-1)
+    cents = cents_map((center + offsets).astype(probabilities.dtype))
+    cents = jnp.sum(values * cents, -1, keepdims=True) / jnp.sum(
+        values, -1, keepdims=True
+    )
+    freq = freq_map(cents)
+    harmonicity = jnp.take_along_axis(probabilities, center, axis=-1)
+    min_c, max_c = cents_map(0.0), cents_map(359.0)
+    normalized_cents = (cents - min_c) / (max_c - min_c)
+    return freq, harmonicity, normalized_cents

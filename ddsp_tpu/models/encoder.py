@@ -1,0 +1,82 @@
+"""Feature encoders: CREPE f0 + A-weighted loudness.
+
+Parity target: reference model/autoencoder/encoder.py:13-177.
+
+* F0 encoder: resample 44.1k -> 16k, per-example mean/std normalize
+  (unbiased std like torch), derive the aligned CREPE hop
+  ``int(hop * (resampled_len - 1024) / (orig_len - n_fft))`` so that the
+  CREPE frame count matches the STFT frame count (the 172-frame contract),
+  run frozen CREPE over unfolded 1024-sample windows, argmax pitch decode.
+* Loudness encoder: rectangular-window STFT dB + A-weighting, -90 dB floor
+  mapping, mean over bins.
+
+All pure functions; CREPE weights are stop-gradiented by default (the
+reference freezes them, encoder.py:35-37) with an opt-out for
+analysis-by-synthesis finetuning.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from ddsp_tpu.config import Config
+from ddsp_tpu.models.crepe import crepe_forward, pitch_argmax
+from ddsp_tpu.ops.resample import resample
+from ddsp_tpu.ops.spectral import a_weighted_loudness, frame_signal
+
+
+def crepe_frame_hop(orig_len: int, resampled_len: int, conf: Config) -> int:
+    """Aligned hop at 16 kHz so CREPE frames == STFT frames (encoder.py:66-68)."""
+    return int(
+        conf.hop_length * (resampled_len - conf.crepe_window) / (orig_len - conf.n_fft)
+    )
+
+
+def f0_encoder_apply(
+    crepe_params: Dict,
+    audio: jnp.ndarray,
+    conf: Config,
+    freeze_crepe: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    """(B, L) audio -> f0 features at the STFT frame rate.
+
+    Returns {'f0', 'harmonicity', 'probabilities', 'normalized_cents'}.
+    """
+    if freeze_crepe:
+        crepe_params = jax.lax.stop_gradient(crepe_params)
+    orig_len = audio.shape[-1]
+    x = resample(audio, conf.sample_rate, conf.crepe_sample_rate)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    std = jnp.std(x, axis=-1, keepdims=True, ddof=1)  # torch unbiased std
+    x = (x - mean) / std
+
+    hop = crepe_frame_hop(orig_len, x.shape[-1], conf)
+    frames = frame_signal(x, conf.crepe_window, hop)  # (B, T, 1024)
+    b, t, w = frames.shape
+    probs = crepe_forward(crepe_params, frames.reshape(b * t, w))
+    probs = probs.reshape(b, t, -1)
+
+    freq, harmonicity, normalized_cents = pitch_argmax(probs)
+    return {
+        "f0": freq,
+        "harmonicity": harmonicity,
+        "probabilities": probs,
+        "normalized_cents": normalized_cents,
+    }
+
+
+def loudness_encoder_apply(audio: jnp.ndarray, conf: Config) -> jnp.ndarray:
+    """(B, L) audio -> (B, T, 1) A-weighted loudness (encoder.py:131-156)."""
+    return a_weighted_loudness(audio, conf.n_fft, conf.hop_length, conf.sample_rate)
+
+
+def encoder_apply(
+    crepe_params: Dict, audio: jnp.ndarray, conf: Config, freeze_crepe: bool = True
+) -> Dict[str, jnp.ndarray]:
+    """Joint feature dict (reference Encoder.forward, encoder.py:159-177)."""
+    result = f0_encoder_apply(crepe_params, audio, conf, freeze_crepe)
+    result["loudness"] = loudness_encoder_apply(audio, conf)
+    return result

@@ -1,0 +1,192 @@
+"""FFTs as MXU matmuls: the TPU-native spectral backbone.
+
+The TPU backend used here exposes **no XLA FFT op** (verified empirically:
+``jnp.fft.*`` fails with UNIMPLEMENTED on device).  This is not a loss: on
+TPU the fastest way to evaluate the short-to-medium DFTs this framework needs
+is the MXU itself.  Two strategies:
+
+* **Direct DFT matmul** for n <= 4096 (every STFT size the MSS loss uses,
+  the noise-filter FFTs, the FIR design irfft): a precomputed (n, n/2+1)
+  cos/sin matrix pair; a batch of frames becomes a single large matmul that
+  the MXU eats at full rate.
+* **Four-step Cooley-Tukey** for large power-of-two n (the reverb's
+  ~2^18-point convolutions): reshape to (N1, N2), DFT_N1 matmul, twiddle,
+  DFT_N2 matmul -- two batched 512x512-class matmuls instead of a serial
+  butterfly network, which is exactly how large FFTs are mapped to matrix
+  engines.
+
+Complex values are carried as (re, im) float32 pairs throughout -- no
+complex dtypes touch the device.  One code path for CPU and TPU; unit tests
+verify against numpy's FFT.
+
+Replaces the cuFFT usage implicit in the reference's ``torch.fft`` calls
+(reference: model/ddsp/filtered_noise.py:10,29, model/ddsp/reverb.py:36).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+DIRECT_MAX = 4096  # largest n evaluated by a single DFT matrix
+
+
+def next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+# --- precomputed matrices (host, cached, closed over as constants) -----------
+@functools.lru_cache(maxsize=None)
+def _rdft_mats(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """cos/sin matrices (n, n//2+1): X[k] = sum_t x[t] e^{-2pi i t k / n}."""
+    t = np.arange(n)[:, None]
+    k = np.arange(n // 2 + 1)[None, :]
+    ang = -2.0 * np.pi * t * k / n
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _irdft_mats(n_bins: int, n_out: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Inverse-rDFT matrices (n_bins, n_out) for irfft(X, n=n_out).
+
+    x[t] = (1/n) [ X[0] + 2 sum_{0<k<n/2} (re cos - im sin) + X[n/2] cos ].
+    """
+    n = n_out
+    k = np.arange(n_bins)[:, None]
+    t = np.arange(n)[None, :]
+    ang = 2.0 * np.pi * k * t / n
+    scale = np.full((n_bins, 1), 2.0 / n)
+    scale[0] = 1.0 / n
+    if n_bins - 1 == n // 2 and n % 2 == 0:
+        scale[-1] = 1.0 / n
+    re_mat = np.cos(ang) * scale
+    im_mat = -np.sin(ang) * scale
+    return re_mat.astype(np.float32), im_mat.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_mats(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Full complex DFT matrices (n, n)."""
+    t = np.arange(n)[:, None]
+    k = np.arange(n)[None, :]
+    ang = -2.0 * np.pi * t * k / n
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _twiddle(n1: int, n2: int) -> Tuple[np.ndarray, np.ndarray]:
+    """W_N^{k1 n2} twiddles, shape (n1, n2), N = n1*n2."""
+    k1 = np.arange(n1)[:, None]
+    n2i = np.arange(n2)[None, :]
+    ang = -2.0 * np.pi * k1 * n2i / (n1 * n2)
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def _split_pow2(n: int) -> Tuple[int, int]:
+    """n = n1 * n2, both powers of two, balanced for squarish matmuls."""
+    assert n & (n - 1) == 0 and n > DIRECT_MAX
+    n1 = 1
+    while n1 * n1 < n:
+        n1 *= 2
+    n2 = n // n1
+    if n1 > DIRECT_MAX or n2 > DIRECT_MAX:
+        raise ValueError(f"FFT size {n} too large for two-stage CT")
+    return n1, n2
+
+
+def _cmatmul(ar, ai, br, bi):
+    """(ar+i ai) @ (br+i bi) as four real matmuls."""
+    return ar @ br - ai @ bi, ar @ bi + ai @ br
+
+
+def _fft_ct(xr: jnp.ndarray, xi: jnp.ndarray, n: int):
+    """Four-step Cooley-Tukey complex FFT over the last axis (size n, pow2)."""
+    n1, n2 = _split_pow2(n)
+    lead = xr.shape[:-1]
+    ar = xr.reshape(*lead, n1, n2)
+    ai = xi.reshape(*lead, n1, n2)
+    # Step 1: DFT over n1 (the slow axis): B[k1, n2] = sum_n1 A[n1, n2] W^{n1 k1}
+    d1r, d1i = (jnp.asarray(m) for m in _dft_mats(n1))
+    br = jnp.einsum("...nm,nk->...km", ar, d1r) - jnp.einsum("...nm,nk->...km", ai, d1i)
+    bi = jnp.einsum("...nm,nk->...km", ar, d1i) + jnp.einsum("...nm,nk->...km", ai, d1r)
+    # Step 2: twiddle by W_N^{k1 n2}
+    tr, ti = (jnp.asarray(m) for m in _twiddle(n1, n2))
+    cr = br * tr - bi * ti
+    ci = br * ti + bi * tr
+    # Step 3: DFT over n2: X[k1, k2] = sum_n2 C[k1, n2] W_{n2}^{n2 k2}
+    d2r, d2i = (jnp.asarray(m) for m in _dft_mats(n2))
+    er, ei = _cmatmul(cr, ci, jnp.asarray(d2r), jnp.asarray(d2i))
+    # X[k1 + n1 k2] = E[k1, k2] -> transpose to (k2, k1) then flatten
+    er = jnp.swapaxes(er, -1, -2).reshape(*lead, n)
+    ei = jnp.swapaxes(ei, -1, -2).reshape(*lead, n)
+    return er, ei
+
+
+def fft_pair(xr: jnp.ndarray, xi: Optional[jnp.ndarray], n: int):
+    """Complex FFT (re, im) over the last axis, zero-padding to n."""
+    if xr.shape[-1] < n:
+        pad = [(0, 0)] * (xr.ndim - 1) + [(0, n - xr.shape[-1])]
+        xr = jnp.pad(xr, pad)
+        xi = None if xi is None else jnp.pad(xi, pad)
+    if xi is None:
+        xi = jnp.zeros_like(xr)
+    if n <= DIRECT_MAX:
+        dr, di = (jnp.asarray(m) for m in _dft_mats(n))
+        return _cmatmul(xr, xi, dr, di)
+    return _fft_ct(xr, xi, n)
+
+
+def rfft_pair(x: jnp.ndarray, n: Optional[int] = None):
+    """Real-input FFT over the last axis -> (re, im), each (..., n//2+1)."""
+    n = n or x.shape[-1]
+    if n <= DIRECT_MAX:
+        if x.shape[-1] < n:
+            pad = [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])]
+            x = jnp.pad(x, pad)
+        cos, sin = _rdft_mats(n)
+        return x @ jnp.asarray(cos), x @ jnp.asarray(sin)
+    re, im = fft_pair(x, None, n)
+    return re[..., : n // 2 + 1], im[..., : n // 2 + 1]
+
+
+def irfft_pair(re: jnp.ndarray, im: jnp.ndarray, n: Optional[int] = None):
+    """Inverse of rfft_pair: (..., n//2+1) spectra -> (..., n) real signal."""
+    n_bins = re.shape[-1]
+    n = n or 2 * (n_bins - 1)
+    if n <= DIRECT_MAX:
+        mr, mi = _irdft_mats(n_bins, n)
+        return re @ jnp.asarray(mr) + im @ jnp.asarray(mi)
+    # Large size: hermitian-extend and run a forward CT FFT with conjugation:
+    # ifft(X) = conj(fft(conj(X))) / n; output is real by construction.
+    assert n == 2 * (n_bins - 1), "large irfft requires full-bin spectra"
+    tail_r = re[..., 1:-1][..., ::-1]
+    tail_i = im[..., 1:-1][..., ::-1]
+    full_r = jnp.concatenate([re, tail_r], axis=-1)
+    full_i = jnp.concatenate([im, -tail_i], axis=-1)
+    yr, yi = _fft_ct(full_r, -full_i, n)
+    del yi  # imaginary residue is numerical noise for hermitian inputs
+    return yr / n
+
+
+def rfft_convolve_same(signal: jnp.ndarray, kernel: jnp.ndarray, kernel_len: int):
+    """Causal linear convolution truncated to the signal length.
+
+    ``out[t] = sum_{k<=t, k<kernel_len} kernel[k] * signal[t-k]``
+    -- the exact semantics of the reference's pad/crop ``fft_convolve``
+    (reference: filtered_noise.py:25-32; see ops/fir.py).  Computed by a
+    circular convolution at the next power of two >= L + kernel_len - 1 (no
+    wraparound), sized for the matmul-FFT machinery.
+    """
+    length = signal.shape[-1]
+    n = next_pow2(length + kernel_len - 1)
+    sr, si = rfft_pair(signal, n)
+    kr, ki = rfft_pair(kernel[..., :kernel_len], n)
+    yr = sr * kr - si * ki
+    yi = sr * ki + si * kr
+    return irfft_pair(yr, yi, n)[..., :length]

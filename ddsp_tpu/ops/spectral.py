@@ -1,0 +1,110 @@
+"""STFT, spectrogram, and psychoacoustic weighting ops.
+
+Behavioral parity targets:
+
+* torchaudio ``Spectrogram(n_fft, hop)`` conventions used by the MSS loss
+  (reference: loss/mss_loss.py:23): center=True with reflect padding,
+  periodic Hann window, power-2 magnitudes, no normalization.
+* ``torch.stft(center=False)`` with no window (rectangular) used by the
+  loudness encoder (reference: model/autoencoder/encoder.py:141-148).
+* librosa ``A_weighting`` curve (reference: encoder.py:137-139).
+
+Framing is a strided gather; FFTs lower to XLA TPU FFT.  All functions are
+pure and differentiable.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from ddsp_tpu.ops.fft import rfft_pair
+from ddsp_tpu.ops.fir import hann_window
+
+
+def frame_signal(x: jnp.ndarray, frame_length: int, hop: int) -> jnp.ndarray:
+    """(..., L) -> (..., n_frames, frame_length) overlapping frames."""
+    length = x.shape[-1]
+    n_frames = 1 + (length - frame_length) // hop
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(frame_length)[None, :]
+    return x[..., idx]
+
+
+def reflect_pad(x: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """Reflect-pad the last axis (torch 'reflect' semantics, no edge repeat)."""
+    cfg = [(0, 0)] * (x.ndim - 1) + [(pad, pad)]
+    return jnp.pad(x, cfg, mode="reflect")
+
+
+def spectrogram(
+    x: jnp.ndarray, n_fft: int, hop: int, power: float = 2.0
+) -> jnp.ndarray:
+    """torchaudio-convention spectrogram: (..., L) -> (..., n_fft//2+1, T).
+
+    center=True reflect padding, periodic Hann, |rfft|^power, matching
+    ``torchaudio.transforms.Spectrogram(n_fft, hop_length=hop)`` as used by
+    the reference MSS loss (loss/mss_loss.py:23).
+    """
+    xp = reflect_pad(x, n_fft // 2)
+    frames = frame_signal(xp, n_fft, hop) * hann_window(n_fft, x.dtype)
+    re, im = rfft_pair(frames)  # one (frames, n_fft)x(n_fft, bins) matmul pair
+    if power == 2.0:
+        mag = re * re + im * im
+    else:
+        mag = jnp.sqrt(re * re + im * im)
+        if power != 1.0:
+            mag = mag**power
+    return jnp.moveaxis(mag, -2, -1)
+
+
+def stft_magnitude_nocenter(x: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
+    """|STFT| with center=False and a rectangular window, (..., T, n_fft//2+1).
+
+    Matches ``torch.stft(x, n_fft, hop, center=False, window=None)`` used by
+    the reference loudness encoder (encoder.py:141-148), which (implicitly)
+    applies no window.
+    """
+    frames = frame_signal(x, n_fft, hop)
+    re, im = rfft_pair(frames)
+    return jnp.sqrt(re * re + im * im)
+
+
+@functools.lru_cache(maxsize=None)
+def a_weighting(n_fft: int, sample_rate: int, min_db: float = -80.0) -> np.ndarray:
+    """A-weighting in dB for rfft bin frequencies, librosa formula.
+
+    Matches ``librosa.A_weighting(np.linspace(0, sr/2, 1+n_fft//2))`` as
+    precomputed by the reference loudness encoder (encoder.py:135-139).
+    """
+    freqs = np.linspace(0, sample_rate / 2, 1 + n_fft // 2, dtype=np.float64)
+    f_sq = freqs**2
+    const = np.array([12194.217, 20.598997, 107.65265, 737.86223]) ** 2
+    with np.errstate(divide="ignore"):
+        weights = 2.0 + 20.0 * (
+            np.log10(const[0])
+            + 2 * np.log10(np.where(f_sq > 0, f_sq, 1.0))
+            - np.log10(f_sq + const[0])
+            - np.log10(f_sq + const[1])
+            - 0.5 * np.log10(f_sq + const[2])
+            - 0.5 * np.log10(f_sq + const[3])
+        )
+        weights = np.where(f_sq > 0, weights, -np.inf)
+    return np.maximum(min_db, weights).astype(np.float32)
+
+
+def a_weighted_loudness(
+    x: jnp.ndarray, n_fft: int, hop: int, sample_rate: int
+) -> jnp.ndarray:
+    """Per-frame A-weighted loudness in [~0, ~1], (..., T, 1).
+
+    dB of rectangular-window STFT magnitudes + A-weighting, mapped by
+    ``db/90 + 1`` (-90 dB floor -> 0), mean over frequency bins.  Matches the
+    reference ``LoudnessEncoder.forward`` (encoder.py:141-156).
+    """
+    mag = stft_magnitude_nocenter(x, n_fft, hop)
+    db = 20.0 * jnp.log10(mag + 1e-20)
+    db = db + jnp.asarray(a_weighting(n_fft, sample_rate))
+    mapped = db / 90.0 + 1.0
+    return jnp.mean(mapped, axis=-1, keepdims=True)

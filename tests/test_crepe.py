@@ -1,0 +1,129 @@
+"""CREPE: golden test vs the reference torch model with shipped tiny weights."""
+
+import os
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+
+from ddsp_tpu.models.crepe import (
+    crepe_forward,
+    crepe_activation,
+    load_torch_checkpoint,
+    pitch_argmax,
+    pitch_weighted,
+    cents_map,
+    freq_map,
+)
+from ddsp_tpu.models import nn
+
+TINY = "/root/reference/crepe/pretrained/tiny.pth"
+
+
+@pytest.fixture(scope="module")
+def tiny_params():
+    if not os.path.exists(TINY):
+        pytest.skip("tiny.pth not available")
+    return load_torch_checkpoint(TINY)
+
+
+@pytest.fixture(scope="module")
+def torch_tiny(reference_path):
+    from crepe.crepe import Crepe
+
+    model = Crepe("tiny")
+    model.load_state_dict(torch.load(TINY, weights_only=True))
+    return model.eval()
+
+
+def test_param_count(tiny_params):
+    """Converted pytree must carry every checkpoint tensor except the
+    integer num_batches_tracked counters (inference-irrelevant)."""
+    import torch as _torch
+
+    sd = _torch.load(TINY, weights_only=True)
+    want = sum(
+        v.numel() for k, v in sd.items() if "num_batches_tracked" not in k
+    )
+    assert nn.count_params(tiny_params) == want
+
+
+def test_forward_matches_reference(reference_path, tiny_params, torch_tiny):
+    rng = np.random.default_rng(0)
+    frames = rng.standard_normal((8, 1024)).astype(np.float32)
+    got = np.asarray(crepe_forward(tiny_params, frames))
+    with torch.no_grad():
+        want = torch_tiny(torch.from_numpy(frames)).numpy()
+    assert got.shape == want.shape == (8, 360)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+    # argmax bins must agree exactly for pitch decoding parity
+    np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
+
+
+def test_embed_matches_reference(reference_path, tiny_params, torch_tiny):
+    rng = np.random.default_rng(1)
+    frames = rng.standard_normal((4, 1024)).astype(np.float32)
+    got = np.asarray(crepe_forward(tiny_params, frames, embed=True))
+    with torch.no_grad():
+        want = torch_tiny(torch.from_numpy(frames), embed=True).numpy()
+    np.testing.assert_allclose(got, want[..., 0], rtol=1e-3, atol=1e-4)
+
+
+def test_activation_layers(tiny_params):
+    rng = np.random.default_rng(2)
+    frames = rng.standard_normal((2, 1024)).astype(np.float32)
+    shapes = []
+    for layer in range(6):
+        act = crepe_activation(tiny_params, frames, layer)
+        shapes.append(act.shape)
+        assert np.all(np.isfinite(np.asarray(act)))
+    assert shapes[0] == (2, 128, 128)
+    assert shapes[5] == (2, 64, 4)
+
+
+def test_pitch_decode_maps():
+    assert abs(float(cents_map(0.0)) - 1997.3794084376191) < 1e-9
+    # bin->cents->freq: C1 (32.7 Hz) is near bin 0
+    assert 30.0 < float(freq_map(cents_map(0.0))) < 35.0
+    probs = np.zeros((1, 3, 360), np.float32)
+    probs[0, :, 100] = 0.9
+    f, h, nc = pitch_argmax(probs)
+    assert np.allclose(np.asarray(h), 0.9)
+    assert np.allclose(np.asarray(nc), 100 / 359.0)
+    f2, h2, nc2 = pitch_weighted(probs)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f2), rtol=1e-5)
+
+
+def test_pitch_weighted_matches_reference(reference_path, torch_tiny):
+    """pitch_weighted vs the reference's pitch_centered implementation."""
+    import types
+    import importlib
+
+    try:
+        enc_mod = importlib.import_module("model.autoencoder.encoder")
+    except ModuleNotFoundError as e:
+        pytest.skip(f"reference encoder needs {e.name} (not installed)")
+    # Build the minimal object surface F0Encoder.pitch_* need
+    class Dummy:
+        cents_map = staticmethod(enc_mod.F0Encoder.cents_map)
+        freq_map = staticmethod(enc_mod.F0Encoder.freq_map)
+        min_cents = enc_mod.F0Encoder.cents_map(0)
+        max_cents = enc_mod.F0Encoder.cents_map(359)
+
+        def normalize_cents(self, cents):
+            return (cents - self.min_cents) / (self.max_cents - self.min_cents)
+
+        pitch_weighted = enc_mod.F0Encoder.pitch_weighted
+        pitch_centered = enc_mod.F0Encoder.pitch_centered
+
+    rng = np.random.default_rng(3)
+    probs = rng.uniform(0, 1, (2, 5, 360)).astype(np.float32)
+    d = Dummy()
+    with torch.no_grad():
+        rf, rh, rnc = d.pitch_weighted(torch.from_numpy(probs))
+    f, h, nc = pitch_weighted(probs)
+    np.testing.assert_allclose(np.asarray(f), rf.numpy(), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(h), rh.numpy(), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(nc), rnc.numpy(), rtol=1e-4, atol=1e-5)

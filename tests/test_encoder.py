@@ -1,0 +1,69 @@
+"""Encoder: frame-count contract, pitch tracking accuracy on synthetic tones."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from ddsp_tpu.config import Config
+from ddsp_tpu.models.autoencoder import feature_pad
+from ddsp_tpu.models.crepe import load_torch_checkpoint
+from ddsp_tpu.models.encoder import (
+    crepe_frame_hop,
+    encoder_apply,
+    loudness_encoder_apply,
+)
+
+TINY = "/root/reference/crepe/pretrained/tiny.pth"
+CONF = Config()
+
+
+@pytest.fixture(scope="module")
+def tiny_params():
+    if not os.path.exists(TINY):
+        pytest.skip("tiny.pth not available")
+    return load_torch_checkpoint(TINY)
+
+
+def test_frame_contract():
+    """Padded 88064-sample example -> exactly 172 frames on both branches."""
+    conf = CONF
+    assert conf.example_length == 88064
+    assert conf.frames_per_example == 172
+    padded_len = conf.example_length + conf.n_fft - conf.hop_length  # 89600
+    from ddsp_tpu.ops.resample import resample_length
+
+    rs_len = resample_length(padded_len, conf.sample_rate, conf.crepe_sample_rate)
+    hop = crepe_frame_hop(padded_len, rs_len, conf)
+    crepe_frames = (rs_len - conf.crepe_window) // hop + 1
+    stft_frames = (padded_len - conf.n_fft) // conf.hop_length + 1
+    assert crepe_frames == stft_frames == 172
+
+
+def test_encoder_on_tone(tiny_params):
+    """440 Hz tone: f0 within a quartertone, loudness high, finite outputs."""
+    conf = CONF
+    sr = conf.sample_rate
+    t = np.arange(conf.example_length) / sr
+    audio = (0.5 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)[None]
+    feats = encoder_apply(tiny_params, feature_pad(audio, conf), conf)
+    assert feats["f0"].shape == (1, 172, 1)
+    assert feats["loudness"].shape == (1, 172, 1)
+    assert feats["probabilities"].shape == (1, 172, 360)
+    # interior frames (edges see zero padding)
+    f0 = np.asarray(feats["f0"])[0, 20:-20, 0]
+    assert np.median(np.abs(1200 * np.log2(f0 / 440.0))) < 50.0  # < 50 cents
+    harm = np.asarray(feats["harmonicity"])[0, 20:-20, 0]
+    assert harm.mean() > 0.3
+    loud = np.asarray(feats["loudness"])[0, 20:-20, 0]
+    assert loud.mean() > 0.4
+
+
+def test_loudness_silence_vs_tone():
+    conf = CONF
+    silence = np.zeros((1, conf.example_length), np.float32)
+    loud = np.asarray(loudness_encoder_apply(feature_pad(silence, conf), conf))
+    assert loud.shape == (1, 172, 1)
+    assert loud.max() < 0.05

@@ -1,0 +1,85 @@
+"""Matmul-FFT layer vs numpy FFT oracles (direct DFT + Cooley-Tukey paths)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ddsp_tpu.ops.fft import (
+    fft_pair,
+    irfft_pair,
+    next_pow2,
+    rfft_convolve_same,
+    rfft_pair,
+)
+
+
+@pytest.mark.parametrize("n", [64, 388, 1024, 4096])
+def test_rfft_direct(n):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((3, n)).astype(np.float32)
+    re, im = rfft_pair(x)
+    want = np.fft.rfft(x)
+    np.testing.assert_allclose(np.asarray(re), want.real, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(im), want.imag, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("n", [8192, 131072])
+def test_rfft_cooley_tukey(n):
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    re, im = rfft_pair(x)
+    want = np.fft.rfft(x)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(np.asarray(re), want.real, atol=2e-3 * scale)
+    np.testing.assert_allclose(np.asarray(im), want.imag, atol=2e-3 * scale)
+
+
+@pytest.mark.parametrize("n_bins,n", [(195, 388), (33, 64), (513, 1024)])
+def test_irfft_direct(n_bins, n):
+    rng = np.random.default_rng(2)
+    spec = rng.standard_normal((2, n_bins)) + 1j * rng.standard_normal((2, n_bins))
+    spec = spec.astype(np.complex64)
+    got = np.asarray(
+        irfft_pair(jnp.asarray(spec.real), jnp.asarray(spec.imag), n)
+    )
+    want = np.fft.irfft(spec, n)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_irfft_large_roundtrip():
+    n = 16384
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    re, im = rfft_pair(x)
+    back = np.asarray(irfft_pair(re, im, n))
+    np.testing.assert_allclose(back, x, atol=2e-3)
+
+
+def test_fft_pair_zero_pad():
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((2, 100)).astype(np.float32)
+    re, im = fft_pair(jnp.asarray(x), None, 256)
+    want = np.fft.fft(x, 256)
+    np.testing.assert_allclose(np.asarray(re), want.real, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(im), want.imag, atol=1e-3)
+
+
+def test_convolve_same_vs_direct():
+    rng = np.random.default_rng(5)
+    sig = rng.standard_normal((1, 300)).astype(np.float32)
+    ker = rng.standard_normal((1, 50)).astype(np.float32)
+    got = np.asarray(rfft_convolve_same(sig, ker, 50))
+    want = np.convolve(sig[0], ker[0])[:300]
+    np.testing.assert_allclose(got[0], want, atol=1e-3)
+
+
+def test_convolve_same_large_kernel(snr):
+    """Reverb-scale: 12000-sample signal, 4000-tap kernel -> CT path."""
+    rng = np.random.default_rng(6)
+    sig = rng.standard_normal((1, 12000)).astype(np.float32)
+    ker = rng.standard_normal((1, 4000)).astype(np.float32)
+    assert next_pow2(12000 + 4000 - 1) == 16384
+    got = np.asarray(rfft_convolve_same(sig, ker, 4000))
+    want = np.convolve(sig[0], ker[0])[:12000]
+    assert snr(want, got[0]) > 55.0

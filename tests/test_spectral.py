@@ -1,0 +1,117 @@
+"""Spectral ops: torch.stft oracles, A-weighting literature values."""
+
+import numpy as np
+import pytest
+import torch
+
+from ddsp_tpu.ops.spectral import (
+    a_weighted_loudness,
+    a_weighting,
+    spectrogram,
+    stft_magnitude_nocenter,
+)
+from ddsp_tpu.losses import mss_loss, sss_loss
+
+
+def _torch_spectrogram(x, n_fft, hop):
+    # torchaudio.transforms.Spectrogram semantics via torch.stft
+    return (
+        torch.stft(
+            torch.from_numpy(x),
+            n_fft=n_fft,
+            hop_length=hop,
+            window=torch.hann_window(n_fft),
+            center=True,
+            pad_mode="reflect",
+            return_complex=True,
+        )
+        .abs()
+        .pow(2)
+        .numpy()
+    )
+
+
+@pytest.mark.parametrize("n_fft,hop", [(64, 16), (256, 64), (2048, 512)])
+def test_spectrogram_matches_torchaudio_convention(n_fft, hop):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((3, 4096)).astype(np.float32)
+    got = np.asarray(spectrogram(x, n_fft, hop))
+    want = _torch_spectrogram(x, n_fft, hop)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_stft_nocenter_matches_torch():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 4096)).astype(np.float32)
+    n_fft, hop = 2048, 512
+    got = np.asarray(stft_magnitude_nocenter(x, n_fft, hop))
+    want = (
+        torch.stft(
+            torch.from_numpy(x),
+            n_fft=n_fft,
+            hop_length=hop,
+            center=False,
+            return_complex=True,
+        )
+        .abs()
+        .permute(0, 2, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_a_weighting_literature_values():
+    # IEC 61672 A-weighting values: 0 dB @ 1 kHz, about -19.1 @ 100 Hz,
+    # +1.3 @ 2 kHz, -9.3 @ 8 kHz (curve values, 0.2 dB tolerance).
+    sr, n_fft = 44100, 8820  # bin width 5 Hz -> exact 100/1000/2000/8000 bins
+    w = a_weighting(n_fft, sr)
+    freqs = np.linspace(0, sr / 2, 1 + n_fft // 2)
+
+    def at(f):
+        return w[np.argmin(np.abs(freqs - f))]
+
+    assert abs(at(1000) - 0.0) < 0.2
+    assert abs(at(100) - (-19.1)) < 0.3
+    assert abs(at(2000) - 1.2) < 0.3
+    assert abs(at(8000) - (-1.1)) < 0.3
+    assert w[0] == -80.0  # min_db floor at DC
+
+
+def test_loudness_range():
+    sr = 44100
+    t = np.arange(sr) / sr
+    # full-scale 1 kHz sine ~ -3 dBFS RMS -> loudness near 1; silence -> ~0
+    loud_sine = np.asarray(
+        a_weighted_loudness(np.sin(2 * np.pi * 1000 * t)[None].astype(np.float32), 2048, 512, sr)
+    )
+    loud_silence = np.asarray(
+        a_weighted_loudness(np.zeros((1, sr), np.float32), 2048, 512, sr)
+    )
+    assert loud_silence.max() < 0.1
+    assert 0.5 < loud_sine.mean() < 1.2
+    assert loud_sine.shape == (1, (sr - 2048) // 512 + 1, 1)
+
+
+def _torch_sss(pred, true, n_fft, alpha=1.0, overlap=0.75, eps=1e-7):
+    hop = int(n_fft * (1 - overlap))
+    sp = torch.from_numpy(np.asarray(_torch_spectrogram(pred, n_fft, hop)))
+    st = torch.from_numpy(np.asarray(_torch_spectrogram(true, n_fft, hop)))
+    lin = torch.nn.functional.l1_loss(sp, st)
+    log = torch.nn.functional.l1_loss((st + eps).log2(), (sp + eps).log2())
+    return (lin + alpha * log).item()
+
+
+@pytest.mark.parametrize("n_fft", [64, 256, 1024])
+def test_sss_loss_matches_reference_formula(n_fft):
+    rng = np.random.default_rng(2)
+    pred = (0.1 * rng.standard_normal((2, 4096))).astype(np.float32)
+    true = (0.1 * rng.standard_normal((2, 4096))).astype(np.float32)
+    got = float(sss_loss(pred, true, n_fft))
+    want = _torch_sss(pred, true, n_fft)
+    assert abs(got - want) < 1e-3 * max(1.0, abs(want))
+
+
+def test_mss_loss_zero_for_identical():
+    rng = np.random.default_rng(3)
+    x = (0.1 * rng.standard_normal((1, 8192))).astype(np.float32)
+    assert float(mss_loss(x, x, ffts=(512, 256, 128))) == 0.0
