@@ -1,0 +1,66 @@
+"""Training entrypoint: ``python -m ddsp_tpu.training.train --data_dir=...``.
+
+Parity target: reference train/train.py:46-55 (dataset -> loader -> trainer),
+with CLI-configurable everything instead of hardcoded paths.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+
+from ddsp_tpu.config import Config
+from ddsp_tpu.data.dataset import extract_features
+from ddsp_tpu.models.crepe import crepe_init, load_torch_checkpoint
+from ddsp_tpu.training.trainer import (
+    fit,
+    init_state,
+    latest_checkpoint,
+    restore_checkpoint,
+)
+
+
+def main(argv=None) -> None:
+    argv = sys.argv[1:] if argv is None else argv
+    extra = {"num_steps": 10000, "crepe_checkpoint": "", "resume": 1}
+    flags = []
+    for a in argv:
+        key = a[2:].split("=", 1)[0]
+        if key in extra:
+            extra[key] = type(extra[key])(a.split("=", 1)[1])
+        else:
+            flags.append(a)
+    conf = Config.from_flags(flags)
+
+    if extra["crepe_checkpoint"]:
+        crepe = load_torch_checkpoint(extra["crepe_checkpoint"])
+    else:
+        crepe = crepe_init(jax.random.PRNGKey(1), conf.crepe_capacity)
+        print("WARNING: no --crepe_checkpoint given; using random CREPE weights")
+
+    print(f"Extracting features from {conf.data_dir} ...")
+    features = extract_features(crepe, conf)
+    n = len(features["audio"])
+    print(f"{n} examples x {conf.example_length} samples")
+
+    state = None
+    ckpt = latest_checkpoint(conf.checkpoint_dir) if extra["resume"] else None
+    if ckpt:
+        template = init_state(jax.random.PRNGKey(conf.seed), conf)
+        state = restore_checkpoint(ckpt, template)
+        print(f"Resumed from {ckpt} at step {int(state.step)}")
+
+    state, metrics = fit(
+        conf,
+        features,
+        num_steps=extra["num_steps"],
+        state=state,
+        log_path=f"{conf.checkpoint_dir}/metrics.jsonl",
+        dump_audio_dir=f"{conf.checkpoint_dir}/audio",
+    )
+    print("final:", metrics)
+
+
+if __name__ == "__main__":
+    main()

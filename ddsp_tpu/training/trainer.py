@@ -1,0 +1,219 @@
+"""Training loop: optax Adam + plateau schedule, Orbax checkpoints, metrics.
+
+Parity target: the reference Lightning module and entrypoint
+(reference: train/train.py:15-55): decoder-only training against the
+multi-scale STFT loss, Adam(1e-3) with ReduceLROnPlateau(patience=5)
+monitoring the train loss, periodic reconstruction dumps for listening.
+
+TPU-native design: one jitted, donate-argnums train step (pure function of
+(state, batch, rng)); data parallelism is just sharding the batch axis over
+the mesh (parallel/); checkpoints are versioned Orbax directories holding
+params + optimizer + step (no filename parsing, cf. rt/utils.py:7-24);
+metrics stream to JSONL with per-scale loss terms and grad norms.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Iterator, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ddsp_tpu.config import Config
+from ddsp_tpu.losses import mss_loss_per_scale
+from ddsp_tpu.models.controller import decoder_apply, decoder_init
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+
+
+def make_optimizer(conf: Config) -> optax.GradientTransformationExtraArgs:
+    """Adam + loss-plateau LR decay (torch ReduceLROnPlateau semantics:
+    factor 0.1, patience in monitored steps, reference train/train.py:21-30)."""
+    return optax.chain(
+        optax.adam(conf.learning_rate),
+        optax.contrib.reduce_on_plateau(
+            factor=conf.lr_plateau_factor,
+            patience=conf.lr_plateau_patience,
+            accumulation_size=50,  # average windows ~ an epoch of steps
+        ),
+    )
+
+
+def init_state(key: jax.Array, conf: Config) -> TrainState:
+    kp, kr = jax.random.split(key)
+    params = decoder_init(kp, conf)
+    opt_state = make_optimizer(conf).init(params)
+    return TrainState(jnp.zeros((), jnp.int32), params, opt_state, kr)
+
+
+def loss_fn(
+    params: Any, batch: Dict[str, jnp.ndarray], conf: Config, noise_key: jax.Array
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """MSS reconstruction loss of the decoded controls vs the target audio."""
+    pred = decoder_apply(params, batch, conf, noise_key)
+    scales = mss_loss_per_scale(
+        pred, batch["audio"], conf.mss_ffts, conf.mss_alpha, conf.mss_overlap
+    )
+    loss = sum(scales.values())
+    return loss, scales
+
+
+def make_train_step(conf: Config):
+    """Jittable (state, batch) -> (state, metrics) pure training step."""
+    tx = make_optimizer(conf)
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        rng, noise_key = jax.random.split(state.rng)
+        (loss, scales), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, conf, noise_key
+        )
+        updates, opt_state = tx.update(
+            grads, state.opt_state, state.params, value=loss
+        )
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(scales)
+        metrics["loss"] = loss
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = TrainState(state.step + 1, params, opt_state, rng)
+        return new_state, metrics
+
+    return train_step
+
+
+# --- checkpointing -----------------------------------------------------------
+def save_checkpoint(ckpt_dir: str, state: TrainState, conf: Config) -> str:
+    """Versioned Orbax checkpoint: ckpt_dir/step_<N>/ holding the full state."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(ckpt_dir, f"step_{int(state.step):08d}"))
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, {"params": state.params, "opt_state": state.opt_state,
+                          "step": state.step, "rng": state.rng})
+    with open(os.path.join(ckpt_dir, "config.json"), "w") as f:
+        f.write(conf.to_json())
+    return path
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = [d for d in os.listdir(ckpt_dir) if d.startswith("step_")]
+    if not steps:
+        return None
+    return os.path.join(ckpt_dir, max(steps, key=lambda d: int(d.split("_")[1])))
+
+
+def restore_checkpoint(path: str, template: TrainState) -> TrainState:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(
+            os.path.abspath(path),
+            {"params": template.params, "opt_state": template.opt_state,
+             "step": template.step, "rng": template.rng},
+        )
+    return TrainState(
+        restored["step"], restored["params"], restored["opt_state"], restored["rng"]
+    )
+
+
+# --- metrics -----------------------------------------------------------------
+class MetricsLogger:
+    """JSONL metrics stream + stdout summary (host-0 only under multi-host)."""
+
+    def __init__(self, path: Optional[str], is_host0: bool = True):
+        self.path = path
+        self.is_host0 = is_host0
+        if path and is_host0:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            self._f = open(path, "a")
+        else:
+            self._f = None
+
+    def log(self, step: int, metrics: Dict[str, Any]) -> None:
+        if not self.is_host0:
+            return
+        row = {"step": step, "time": time.time()}
+        row.update({k: float(v) for k, v in metrics.items()})
+        if self._f:
+            self._f.write(json.dumps(row) + "\n")
+            self._f.flush()
+
+    def close(self):
+        if self._f:
+            self._f.close()
+
+
+# --- fit loop ----------------------------------------------------------------
+def fit(
+    conf: Config,
+    features: Dict[str, np.ndarray],
+    num_steps: int,
+    state: Optional[TrainState] = None,
+    log_path: Optional[str] = None,
+    dump_audio_dir: Optional[str] = None,
+    dump_every: int = 10,
+    seed: Optional[int] = None,
+) -> Tuple[TrainState, Dict[str, float]]:
+    """Train the decoder on extracted features for ``num_steps`` steps.
+
+    Single-host convenience wrapper; the multi-chip path lives in
+    parallel/train (same step function, sharded batch).
+    """
+    from ddsp_tpu.data.dataset import batch_iterator
+
+    key = jax.random.PRNGKey(conf.seed if seed is None else seed)
+    if state is None:
+        key, ks = jax.random.split(key)
+        state = init_state(ks, conf)
+    step_fn = jax.jit(make_train_step(conf), donate_argnums=0)
+    logger = MetricsLogger(log_path)
+
+    last: Dict[str, float] = {}
+    steps_done = 0
+    epoch = 0
+    t0 = time.time()
+    while steps_done < num_steps:
+        key, ke = jax.random.split(key)
+        for batch in batch_iterator(features, conf.batch_size, ke):
+            state, metrics = step_fn(state, batch)
+            steps_done += 1
+            if steps_done % conf.log_every == 0 or steps_done == num_steps:
+                last = {k: float(v) for k, v in metrics.items()}
+                last["steps_per_s"] = steps_done / (time.time() - t0)
+                logger.log(int(state.step), last)
+            if conf.checkpoint_every and steps_done % conf.checkpoint_every == 0:
+                save_checkpoint(conf.checkpoint_dir, state, conf)
+            if steps_done >= num_steps:
+                break
+        epoch += 1
+        if dump_audio_dir and (epoch % dump_every == 0 or steps_done >= num_steps):
+            _dump_reconstructions(state, conf, features, dump_audio_dir, epoch)
+    logger.close()
+    return state, last
+
+
+def _dump_reconstructions(state, conf, features, out_dir, epoch, n=2):
+    """Write a few reconstructed examples as wavs (the reference's audible
+    validation, train/train.py:39-43, with parameterized paths)."""
+    from ddsp_tpu.data.audio_io import write_wav
+
+    os.makedirs(out_dir, exist_ok=True)
+    batch = {k: jnp.asarray(v[:n]) for k, v in features.items()}
+    pred = decoder_apply(state.params, batch, conf, jax.random.PRNGKey(epoch))
+    for i, row in enumerate(np.asarray(pred)):
+        write_wav(
+            os.path.join(out_dir, f"epoch{epoch:03d}-{i}.wav"),
+            row / max(1e-6, np.abs(row).max()),
+            conf.sample_rate,
+        )

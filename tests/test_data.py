@@ -1,0 +1,94 @@
+"""Data pipeline: WAV I/O round trips, chunking contract, feature cache."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from ddsp_tpu.config import Config
+from ddsp_tpu.data.audio_io import UnsupportedAudioFormat, read_wav, write_wav
+from ddsp_tpu.data.dataset import (
+    batch_iterator,
+    extract_features,
+    list_audio_files,
+    load_examples,
+)
+from ddsp_tpu.models.crepe import crepe_init
+
+
+def test_wav_roundtrip(tmp_path):
+    sr = 8000
+    x = (0.5 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr)).astype(np.float32)
+    path = str(tmp_path / "tone.wav")
+    write_wav(path, x, sr)
+    y, sr2 = read_wav(path)
+    assert sr2 == sr and y.shape == (1, sr)
+    np.testing.assert_allclose(y[0], x, atol=1.5 / 32768)
+
+
+def test_wav_stereo_and_float(tmp_path):
+    sr = 4000
+    x = np.stack([np.ones(100, np.float32) * 0.25, -np.ones(100, np.float32) * 0.5])
+    path = str(tmp_path / "st.wav")
+    write_wav(path, x, sr)
+    y, _ = read_wav(path)
+    assert y.shape == (2, 100)
+    np.testing.assert_allclose(y, x, atol=1.5 / 32768)
+
+
+def test_non_wav_rejected(tmp_path):
+    path = str(tmp_path / "fake.wav")
+    with open(path, "wb") as f:
+        f.write(b"ID3\x00 not a wav at all")
+    with pytest.raises(UnsupportedAudioFormat):
+        read_wav(path)
+
+
+@pytest.fixture
+def tiny_dataset_dir(tmp_path):
+    conf = Config(data_dir=str(tmp_path), sample_rate=44100)
+    sr = conf.sample_rate
+    t = np.arange(int(2.6 * sr)) / sr
+    write_wav(str(tmp_path / "a.wav"), 0.5 * np.sin(2 * np.pi * 330 * t), sr)
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    write_wav(str(sub / "b.wav"), 0.3 * np.sin(2 * np.pi * 220 * t), sr)
+    return conf
+
+
+def test_load_examples_shapes_and_cache(tiny_dataset_dir):
+    conf = tiny_dataset_dir
+    ex = load_examples(conf)
+    assert ex.shape[1] == conf.example_length == 88064
+    # 2.6 s audio -> (len-2s)//0.5s + 1 examples per file, 2 files
+    assert ex.shape[0] >= 2
+    # cache hit returns identical data
+    ex2 = load_examples(conf)
+    np.testing.assert_array_equal(ex, ex2)
+    assert any(f.startswith("audio_dataset") for f in os.listdir(conf.data_dir))
+
+
+def test_extract_features_and_iterate(tiny_dataset_dir):
+    conf = tiny_dataset_dir.replace(batch_size=2)
+    crepe = crepe_init(jax.random.PRNGKey(0), "tiny")
+    feats = extract_features(crepe, conf, include_probabilities=False)
+    t = conf.frames_per_example
+    n = len(feats["audio"])
+    assert feats["f0"].shape == (n, t, 1)
+    assert feats["loudness"].shape == (n, t, 1)
+    assert feats["normalized_cents"].shape == (n, t, 1)
+    assert "probabilities" not in feats
+    # cache round trip
+    feats2 = extract_features(crepe, conf, include_probabilities=False)
+    np.testing.assert_allclose(feats2["f0"], feats["f0"], atol=1e-6)
+
+    batches = list(batch_iterator(feats, 2, jax.random.PRNGKey(0)))
+    assert len(batches) == n // 2
+    assert batches[0]["audio"].shape == (2, conf.example_length)
+
+
+def test_missing_dir_raises():
+    with pytest.raises(ValueError, match="No valid audio files"):
+        list_audio_files("/nonexistent_dir_xyz")

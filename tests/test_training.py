@@ -1,0 +1,156 @@
+"""Trainer: loss decreases on a tiny problem, checkpoint round trip,
+reference torch checkpoint import."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from ddsp_tpu.config import Config
+from ddsp_tpu.models.controller import controller_apply, decoder_apply
+from ddsp_tpu.models.torch_import import load_lightning_decoder
+from ddsp_tpu.training.trainer import (
+    fit,
+    init_state,
+    latest_checkpoint,
+    make_train_step,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+# Small config: short examples, tiny net, few harmonics -> fast CPU test
+CONF = Config(
+    sample_rate=4000,
+    n_fft=256,
+    hop_length=64,
+    example_duration=0.5,
+    n_harmonics=16,
+    n_noise_filters=17,
+    decoder_mlp_units=32,
+    decoder_mlp_layers=1,
+    decoder_gru_units=32,
+    batch_size=4,
+    mss_ffts=(256, 128, 64),
+    checkpoint_every=0,
+    log_every=5,
+)
+
+
+def _synthetic_features(conf, n=8, seed=0):
+    """Harmonic-ish targets the decoder can actually fit."""
+    rng = np.random.default_rng(seed)
+    t_frames = conf.frames_per_example
+    f0 = np.full((n, t_frames, 1), 200.0, np.float32)
+    cents = np.full((n, t_frames, 1), 0.4, np.float32)
+    loud = np.full((n, t_frames, 1), 0.7, np.float32)
+    ts = np.arange(conf.example_length) / conf.sample_rate
+    audio = np.stack(
+        [
+            sum(
+                (0.5 / k) * np.sin(2 * np.pi * 200.0 * k * ts + rng.uniform(0, 6))
+                for k in range(1, 4)
+            )
+            for _ in range(n)
+        ]
+    ).astype(np.float32)
+    return {
+        "f0": f0,
+        "normalized_cents": cents,
+        "loudness": loud,
+        "audio": audio,
+    }
+
+
+def test_train_step_decreases_loss():
+    feats = _synthetic_features(CONF)
+    state = init_state(jax.random.PRNGKey(0), CONF)
+    step = jax.jit(make_train_step(CONF))
+    batch = {k: jnp.asarray(v[:4]) for k, v in feats.items()}
+    losses = []
+    for _ in range(30):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses[-1])
+        assert np.isfinite(float(metrics["grad_norm"]))
+    assert losses[-1] < losses[0] * 0.9, losses[::10]
+
+
+def test_fit_and_checkpoint_roundtrip(tmp_path):
+    conf = CONF.replace(checkpoint_dir=str(tmp_path / "ckpt"))
+    feats = _synthetic_features(conf)
+    state, metrics = fit(
+        conf,
+        feats,
+        num_steps=6,
+        log_path=str(tmp_path / "metrics.jsonl"),
+        dump_audio_dir=str(tmp_path / "audio"),
+    )
+    assert int(state.step) == 6
+    assert "loss" in metrics and np.isfinite(metrics["loss"])
+    assert (tmp_path / "metrics.jsonl").exists()
+    assert list((tmp_path / "audio").glob("*.wav"))
+
+    path = save_checkpoint(conf.checkpoint_dir, state, conf)
+    assert latest_checkpoint(conf.checkpoint_dir) == path
+    template = init_state(jax.random.PRNGKey(99), conf)
+    restored = restore_checkpoint(path, template)
+    assert int(restored.step) == 6
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        restored.params,
+        state.params,
+    )
+
+
+def test_torch_decoder_import(reference_path, tmp_path):
+    """Round-trip: build the reference torch Decoder, save a Lightning-style
+    ckpt, import it, and check the imported controller matches torch."""
+    import types
+
+    from model.autoencoder.decoder import Decoder
+
+    conf = Config(
+        n_harmonics=12,
+        n_noise_filters=9,
+        decoder_mlp_units=16,
+        decoder_mlp_layers=2,
+        decoder_gru_units=16,
+        sample_rate=4000,
+        hop_length=32,
+    )
+    t_conf = types.SimpleNamespace(
+        decoder_mlp_units=16,
+        decoder_mlp_layers=2,
+        decoder_gru_units=16,
+        decoder_gru_layers=1,
+        n_harmonics=12,
+        n_noise_filters=9,
+        sample_rate=4000,
+        hop_length=32,
+    )
+    torch.manual_seed(0)
+    dec = Decoder(t_conf).eval()
+    ckpt = {"state_dict": {f"model.{k}": v for k, v in dec.state_dict().items()}}
+    path = str(tmp_path / "epoch=3-step=100.ckpt")
+    torch.save(ckpt, path)
+
+    params = load_lightning_decoder(path, conf)
+    batch_np = {
+        "f0": np.random.default_rng(0).uniform(100, 400, (1, 6, 1)).astype(np.float32),
+        "normalized_cents": np.random.default_rng(1).uniform(0, 1, (1, 6, 1)).astype(np.float32),
+        "loudness": np.random.default_rng(2).uniform(0, 1, (1, 6, 1)).astype(np.float32),
+    }
+    controls, _ = controller_apply(params["controller"], batch_np)
+    with torch.no_grad():
+        ref = dec.controller({k: torch.from_numpy(v) for k, v in batch_np.items()})
+    np.testing.assert_allclose(np.asarray(controls["c"]), ref["c"].numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(controls["H"]), ref["H"].numpy(), atol=2e-5)
+    # reverb params imported
+    np.testing.assert_allclose(
+        np.asarray(params["reverb"]["noise"]), dec.reverb.noise.detach().numpy(), atol=1e-7
+    )
+    # imported decoder renders finite audio end to end
+    audio = decoder_apply(params, batch_np, conf, jax.random.PRNGKey(0))
+    assert np.all(np.isfinite(np.asarray(audio)))
