@@ -1,0 +1,141 @@
+"""Distributed correctness on an 8-device virtual CPU mesh:
+time-sharded render == single-device render; DP train step == local step."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ddsp_tpu.config import Config
+from ddsp_tpu.losses import mss_loss
+from ddsp_tpu.models.controller import controller_apply, decoder_init
+from ddsp_tpu.models.synths import reverb_impulse
+from ddsp_tpu.ops.fir import fft_convolve, filtered_noise
+from ddsp_tpu.ops.oscillator import oscillator_bank
+from ddsp_tpu.parallel.mesh import make_mesh
+from ddsp_tpu.parallel.render import render_controls_sharded, render_long_audio
+from ddsp_tpu.parallel.train import (
+    make_parallel_train_step,
+    shard_batch,
+    shard_state,
+)
+from ddsp_tpu.training.trainer import init_state, make_train_step
+
+CONF = Config(
+    sample_rate=4000,
+    n_fft=256,
+    hop_length=64,
+    n_harmonics=16,
+    n_noise_filters=17,
+    decoder_mlp_units=32,
+    decoder_mlp_layers=1,
+    decoder_gru_units=32,
+    reverb_length=512,
+    mss_ffts=(256, 128),
+    batch_size=8,
+)
+
+
+def _controls(b=1, t=64, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "f0": rng.uniform(80, 500, (b, t, 1)).astype(np.float32),
+        "c": rng.uniform(0.01, 1, (b, t, CONF.n_harmonics)).astype(np.float32),
+        "a": rng.uniform(0, 1, (b, t, 1)).astype(np.float32),
+        "H": rng.uniform(0, 1, (b, t, CONF.n_noise_filters)).astype(np.float32),
+    }
+
+
+def _single_device_render(reverb_params, controls, key):
+    harm, _ = oscillator_bank(
+        controls["f0"], controls["c"], controls["a"],
+        sample_rate=CONF.sample_rate, hop=CONF.hop_length,
+    )
+    noise = filtered_noise(controls["H"], key, CONF.hop_length)
+    dry = harm + noise
+    imp = reverb_impulse(reverb_params, CONF)
+    return fft_convolve(dry, imp[None, :], kernel_len=imp.shape[-1])
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8, jax.devices()
+
+
+@pytest.mark.parametrize("n_time", [2, 4, 8])
+def test_time_sharded_render_matches_single(snr, n_time):
+    mesh = make_mesh(n_time=n_time, devices=jax.devices()[:n_time])
+    controls = _controls()
+    key = jax.random.PRNGKey(3)
+    params = {
+        "noise": jax.random.uniform(jax.random.PRNGKey(1), (CONF.ir_length,), minval=-1.0),
+        "decay": jnp.asarray(4.0),
+        "wet": jnp.asarray(0.5),
+    }
+    want = np.asarray(_single_device_render(params, controls, key))
+    got = np.asarray(
+        render_controls_sharded(params, controls, CONF, mesh, key)
+    )
+    assert got.shape == want.shape
+    assert snr(want, got) > 70.0
+
+
+def test_halo_spans_multiple_shards(snr):
+    """ir_length (512) > local samples (e.g. 8 shards x 8 frames x 64 = 512
+    per shard): halo must gather from more than one left neighbor."""
+    conf = CONF
+    mesh = make_mesh(n_time=8, devices=jax.devices())
+    controls = _controls(t=64)  # 8 frames/shard -> 512 samples = ir length
+    key = jax.random.PRNGKey(5)
+    params = {
+        "noise": jax.random.uniform(jax.random.PRNGKey(2), (conf.ir_length,), minval=-1.0),
+        "decay": jnp.asarray(2.0),
+        "wet": jnp.asarray(1.0),
+    }
+    want = np.asarray(_single_device_render(params, controls, key))
+    got = np.asarray(render_controls_sharded(params, controls, conf, mesh, key))
+    assert snr(want, got) > 70.0
+
+
+def test_render_long_audio_full_decoder(snr):
+    """Controller -> sharded synthesis vs single-device decoder synthesis."""
+    from ddsp_tpu.models.controller import decoder_apply
+
+    mesh = make_mesh(n_time=4, devices=jax.devices()[:4])
+    params = decoder_init(jax.random.PRNGKey(0), CONF)
+    t = 64
+    batch = {
+        "f0": np.random.default_rng(0).uniform(100, 400, (1, t, 1)).astype(np.float32),
+        "normalized_cents": np.random.default_rng(1).uniform(0, 1, (1, t, 1)).astype(np.float32),
+        "loudness": np.random.default_rng(2).uniform(0, 1, (1, t, 1)).astype(np.float32),
+    }
+    key = jax.random.PRNGKey(7)
+    want = np.asarray(decoder_apply(params, batch, CONF, key))
+    got = np.asarray(render_long_audio(params, batch, CONF, mesh, key))
+    assert snr(want, got) > 70.0
+
+
+def test_dp_train_step_matches_single():
+    mesh = make_mesh(n_data=8)
+    feats_rng = np.random.default_rng(0)
+    t = CONF.frames_per_example
+    batch = {
+        "f0": feats_rng.uniform(100, 400, (8, t, 1)).astype(np.float32),
+        "normalized_cents": feats_rng.uniform(0, 1, (8, t, 1)).astype(np.float32),
+        "loudness": feats_rng.uniform(0, 1, (8, t, 1)).astype(np.float32),
+        "audio": (0.1 * feats_rng.standard_normal((8, CONF.example_length))).astype(np.float32),
+    }
+    state0 = init_state(jax.random.PRNGKey(0), CONF)
+
+    local_state, local_metrics = jax.jit(make_train_step(CONF))(state0, batch)
+
+    pstep = make_parallel_train_step(CONF, mesh)
+    pstate = shard_state(init_state(jax.random.PRNGKey(0), CONF), mesh)
+    pbatch = shard_batch(batch, mesh)
+    pstate, pmetrics = pstep(pstate, pbatch)
+
+    assert abs(float(local_metrics["loss"]) - float(pmetrics["loss"])) < 1e-2
+    leaves_l = jax.tree_util.tree_leaves(local_state.params)
+    leaves_p = jax.tree_util.tree_leaves(pstate.params)
+    for a, b in zip(leaves_l, leaves_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
