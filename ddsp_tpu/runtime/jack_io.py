@@ -1,0 +1,117 @@
+"""Optional JACK audio host loop for live synthesis.
+
+Parity target: reference rt/synth.py:1-89 (JACK client 'zak-rt': mic ->
+model -> speakers with port auto-wiring and missed-deadline warnings).
+The JACK-Client package is optional; without it this module still imports
+and `run_file_loopback` provides a CI-friendly offline driver over wav
+files using the same BlockSynthesizer.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Dict, Optional
+
+import numpy as np
+
+from ddsp_tpu.config import Config
+from ddsp_tpu.runtime.streaming import BlockSynthesizer
+
+try:  # pragma: no cover - exercised only on hosts with JACK
+    import jack  # type: ignore
+
+    HAS_JACK = True
+except Exception:  # ModuleNotFoundError or libjack load failure
+    jack = None
+    HAS_JACK = False
+
+
+def run_jack(
+    params: Dict,
+    crepe_params: Dict,
+    conf: Config,
+    client_name: str = "ddsp-tpu-rt",
+) -> None:  # pragma: no cover - needs a JACK server
+    """Stream mic -> synthesizer -> speakers through a JACK client.
+
+    Mirrors the reference's port auto-wiring (rt/synth.py:66-83) but keeps
+    all synthesis state inside the BlockSynthesizer (no globals mutated from
+    the audio thread).
+    """
+    if not HAS_JACK:
+        raise RuntimeError(
+            "JACK-Client is not installed; use run_file_loopback for offline "
+            "streaming or install `JACK-Client`."
+        )
+    synth = BlockSynthesizer(params, crepe_params, conf)
+    client = jack.Client(client_name)
+    if client.blocksize != conf.hop_length:
+        client.blocksize = conf.hop_length
+    event = threading.Event()
+
+    @client.set_process_callback
+    def process(frames):  # noqa: ANN001
+        for i, o in zip(client.inports, client.outports):
+            mic = np.frombuffer(i.get_buffer(), dtype="float32")
+            o.get_buffer()[:] = synth.process(mic).astype("float32").tobytes()
+
+    @client.set_shutdown_callback
+    def shutdown(status, reason):  # noqa: ANN001
+        event.set()
+
+    client.inports.register("input_1")
+    client.outports.register("output_1")
+    with client:
+        capture = client.get_ports(is_physical=True, is_output=True)
+        playback = client.get_ports(is_physical=True, is_input=True)
+        for src, dest in zip(capture, client.inports):
+            client.connect(src, dest)
+        for src, dest in zip(client.outports, playback):
+            client.connect(src, dest)
+        try:
+            event.wait()
+        except KeyboardInterrupt:
+            pass
+
+
+def run_file_loopback(
+    params: Dict,
+    crepe_params: Dict,
+    conf: Config,
+    in_path: str,
+    out_path: str,
+    max_blocks: Optional[int] = None,
+) -> dict:
+    """Offline stand-in for the JACK loop: wav in -> block synth -> wav out.
+
+    Returns {'blocks', 'missed_deadlines', 'realtime_factor'} so CI can
+    assert on streaming health without an audio server.
+    """
+    import time
+
+    from ddsp_tpu.data.audio_io import read_wav, write_wav
+    from ddsp_tpu.ops.resample import resample
+
+    audio, sr = read_wav(in_path)
+    mono = audio.mean(0) if audio.shape[0] > 1 else audio[0]
+    if sr != conf.sample_rate:
+        mono = np.asarray(resample(mono, sr, conf.sample_rate))
+    hop = conf.hop_length
+    n_blocks = len(mono) // hop
+    if max_blocks:
+        n_blocks = min(n_blocks, max_blocks)
+
+    synth = BlockSynthesizer(params, crepe_params, conf)
+    out = []
+    t0 = time.perf_counter()
+    for i in range(n_blocks):
+        out.append(synth.process(mono[i * hop : (i + 1) * hop]))
+    wall = time.perf_counter() - t0
+    rendered = np.concatenate(out) if out else np.zeros(0, np.float32)
+    peak = np.abs(rendered).max()
+    write_wav(out_path, rendered / max(1.0, peak / 0.9), conf.sample_rate)
+    return {
+        "blocks": n_blocks,
+        "missed_deadlines": synth.missed_deadlines,
+        "realtime_factor": (n_blocks * hop / conf.sample_rate) / wall if wall else 0.0,
+    }

@@ -1,0 +1,75 @@
+"""Griffin-Lim / style transfer / DeepDream experiment tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ddsp_tpu.experiments.dream import dream
+from ddsp_tpu.experiments.style_transfer import (
+    StyleTransferConfig,
+    log_spectrogram,
+    style_transfer_audio,
+)
+from ddsp_tpu.models.crepe import crepe_init
+from ddsp_tpu.ops.griffin_lim import griffin_lim, istft, stft_pair
+
+
+def test_istft_roundtrip(snr):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 4096)).astype(np.float32)
+    n_fft, hop = 512, 128
+    re, im = stft_pair(x, n_fft, hop)
+    back = np.asarray(istft(re, im, n_fft, hop, length=4096))
+    assert back.shape == x.shape
+    assert snr(x, back) > 50.0
+
+
+def test_griffin_lim_recovers_tone(snr):
+    sr, n_fft, hop = 8000, 512, 128
+    t = np.arange(2 * sr) / sr
+    x = np.sin(2 * np.pi * 500 * t).astype(np.float32)
+    re, im = stft_pair(x, n_fft, hop)
+    mag = jnp.sqrt(re**2 + im**2)
+    y = np.asarray(griffin_lim(mag, n_fft, hop, n_iter=40, length=len(x)))
+    # phase-blind: compare magnitude spectrograms
+    re2, im2 = stft_pair(jnp.asarray(y), n_fft, hop)
+    mag2 = np.sqrt(np.asarray(re2) ** 2 + np.asarray(im2) ** 2)
+    assert snr(np.asarray(mag), mag2) > 18.0
+
+
+def test_style_transfer_moves_toward_style():
+    sr = 8000
+    t = np.arange(sr) / sr
+    content = np.sin(2 * np.pi * 300 * t).astype(np.float32)
+    rng = np.random.default_rng(0)
+    style = (0.5 * rng.standard_normal(sr)).astype(np.float32)  # noisy style
+    conf = StyleTransferConfig(
+        n_fft=512, hop=128, n_features=256, n_steps=12, gl_iters=8, sample_rate=sr
+    )
+    out, metrics = style_transfer_audio(
+        jnp.asarray(content), jnp.asarray(style), conf
+    )
+    assert np.isfinite(out).all() and out.size > 0
+    assert np.isfinite(metrics["loss"])
+    # stylized spectrogram differs from the content spectrogram
+    cs = np.asarray(log_spectrogram(jnp.asarray(content), conf))
+    os_ = np.asarray(
+        log_spectrogram(jnp.asarray(out[: len(content)]), conf)
+    )
+    assert np.abs(cs[:, : os_.shape[1]] - os_).mean() > 1e-3
+
+
+def test_dream_increases_activation():
+    crepe = crepe_init(jax.random.PRNGKey(0), "tiny")
+    rng = np.random.default_rng(1)
+    audio = (0.1 * rng.standard_normal((1, 1024))).astype(np.float32)
+
+    from ddsp_tpu.models.crepe import crepe_activation
+
+    before = float(jnp.linalg.norm(crepe_activation(crepe, jnp.asarray(audio), 5)))
+    dreamed, after = dream(crepe, jnp.asarray(audio), layer_index=5, iterations=5, lr=1.0)
+    assert after > before
+    assert dreamed.shape == (1, 1024)
+    assert np.isfinite(dreamed).all()
