@@ -23,6 +23,7 @@ import numpy as np
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from ddsp_tpu.config import Config
     from ddsp_tpu.models.controller import decoder_apply, decoder_init
@@ -32,23 +33,42 @@ def main():
     rng = np.random.default_rng(0)
     t = conf.frames_per_example
     batch = {
-        "f0": rng.uniform(100, 600, (batch_size, t, 1)).astype(np.float32),
-        "normalized_cents": rng.uniform(0, 1, (batch_size, t, 1)).astype(np.float32),
-        "loudness": rng.uniform(0, 1, (batch_size, t, 1)).astype(np.float32),
+        "f0": jnp.asarray(rng.uniform(100, 600, (batch_size, t, 1)).astype(np.float32)),
+        "normalized_cents": jnp.asarray(
+            rng.uniform(0, 1, (batch_size, t, 1)).astype(np.float32)
+        ),
+        "loudness": jnp.asarray(
+            rng.uniform(0, 1, (batch_size, t, 1)).astype(np.float32)
+        ),
     }
     params = decoder_init(jax.random.PRNGKey(0), conf)
     key = jax.random.PRNGKey(1)
 
-    fwd = jax.jit(lambda p, b, k: decoder_apply(p, b, conf, k))
-    out = fwd(params, batch, key)
-    jax.block_until_ready(out)  # compile + warm up
+    # Measure pure device time: N forwards inside one jit, serialized by an
+    # output->input dependency, so remote-dispatch latency and any host-side
+    # effects cannot distort the number.
+    iters = 50
 
-    iters = 10
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = fwd(params, batch, jax.random.fold_in(key, i))
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    @jax.jit
+    def many(params, batch, key):
+        def body(carry, i):
+            b2 = dict(batch, loudness=batch["loudness"] + carry * 1e-12)
+            out = decoder_apply(params, b2, conf, jax.random.fold_in(key, i))
+            return jnp.sum(out * out), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(iters))
+        return acc
+
+    r = many(params, batch, key)
+    jax.block_until_ready(r)  # compile + warm up
+    times = []
+    for trial in range(4):  # fresh key per trial; first trial can report a
+        k = jax.random.fold_in(key, 1000 + trial)  # spuriously-early ready
+        t0 = time.perf_counter()
+        r = many(params, batch, k)
+        jax.block_until_ready(r)
+        times.append((time.perf_counter() - t0) / iters)
+        assert np.isfinite(float(r)), float(r)
+    dt = float(np.median(times))
 
     samples_per_s = batch_size * conf.example_length / dt
     baseline = 100 * conf.sample_rate  # 100x realtime per chip target

@@ -42,8 +42,10 @@ def _round_up(n: int, m: int) -> int:
 
 def _kernel(
     phase_ref,  # (1, FT, hop)
-    amps_ref,  # (1, FT + 2, HP)  frames [t-1, t, ..., t+FT] amplitudes
-    loud_ref,  # (1, FT + 2, LANE) loudness broadcast over lanes
+    amps_l_ref,  # (1, FT, HP) amplitudes of frame t-1
+    amps_m_ref,  # (1, FT, HP) amplitudes of frame t
+    amps_r_ref,  # (1, FT, HP) amplitudes of frame t+1
+    loud_ref,  # (1, FT, 3*LANE) loudness (t-1, t, t+1) per lane group
     w_ref,  # (hop, 4) interp weights (padded from 3)
     out_ref,  # (1, FT, hop)
     *,
@@ -51,7 +53,9 @@ def _kernel(
     hop: int,
     hp: int,
 ):
-    h = jax.lax.broadcasted_iota(jnp.float32, (1, hp), 1) + 1.0  # (1, HP)
+    h = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, hp), 1).astype(jnp.float32) + 1.0
+    )  # (1, HP) harmonic numbers
     w = w_ref[:, :3]  # (hop, 3)
     for f in range(ft):
         phase = phase_ref[0, f, :].reshape(hop, 1)  # fractional cycles
@@ -63,21 +67,93 @@ def _kernel(
         frac = frac - jnp.floor(frac)
         sines = jnp.sin(TWO_PI * frac)  # (hop, HP)
 
-        # amp windows for this frame: rows f (t-1), f+1 (t), f+2 (t+1)
+        # harmonic sums against the three neighboring frames' amplitudes
         s = jnp.concatenate(
             [
-                jnp.sum(sines * amps_ref[0, f + k, :].reshape(1, hp), axis=1, keepdims=True)
-                for k in range(3)
+                jnp.sum(sines * ref[0, f, :].reshape(1, hp), axis=1, keepdims=True)
+                for ref in (amps_l_ref, amps_m_ref, amps_r_ref)
             ],
             axis=1,
         )  # (hop, 3)
         harm = jnp.sum(s * w, axis=1)  # (hop,)
         loud = (
             w[:, 0] * loud_ref[0, f, 0]
-            + w[:, 1] * loud_ref[0, f + 1, 0]
-            + w[:, 2] * loud_ref[0, f + 2, 0]
+            + w[:, 1] * loud_ref[0, f, LANE]
+            + w[:, 2] * loud_ref[0, f, 2 * LANE]
         )
         out_ref[0, f, :] = harm * loud
+
+
+def _kernel_cheb(
+    phase_ref,  # (1, FT, hop)
+    amps_l_ref,  # (1, FT, HP)
+    amps_m_ref,  # (1, FT, HP)
+    amps_r_ref,  # (1, FT, HP)
+    loud_ref,  # (1, FT, 3*LANE)
+    w_ref,  # (hop, 4)
+    out_ref,  # (1, FT, hop)
+    *,
+    ft: int,
+    hop: int,
+    hp: int,
+    n_h: int,
+    resync: int,
+):
+    """Chebyshev-recurrence harmonic accumulation.
+
+    sin((h+1)x) = 2 cos(x) sin(hx) - sin((h-1)x) turns the 180
+    sines-per-sample into 2 transcendentals + ~5 FMAs per harmonic (the
+    VPU's sweet spot).  Float32 drift of the three-term recurrence is
+    killed by re-seeding with an exact split-precision sine every
+    ``resync`` harmonics.
+    """
+    phase = phase_ref[0]  # (ft, hop) fractional cycles
+    ang = TWO_PI * phase
+    c1 = jnp.cos(ang)
+    s1 = jnp.sin(ang)
+    two_c = 2.0 * c1
+
+    hi = jnp.floor(phase * QUANT) * (1.0 / QUANT)
+    lo = phase - hi
+
+    def exact_sincos(h_int):
+        """Exact sin/cos of 2 pi h phase via the split-precision product."""
+        coarse = hi * float(h_int)
+        coarse = coarse - jnp.floor(coarse)
+        frac = coarse + lo * float(h_int)
+        frac = frac - jnp.floor(frac)
+        a = TWO_PI * frac
+        return jnp.sin(a), jnp.cos(a)
+
+    acc_l = jnp.zeros((ft, hop), jnp.float32)
+    acc_m = jnp.zeros((ft, hop), jnp.float32)
+    acc_r = jnp.zeros((ft, hop), jnp.float32)
+    s_prev = jnp.zeros((ft, hop), jnp.float32)  # sin(0 * x)
+    s_cur = s1
+    for h in range(1, n_h + 1):
+        if h > 1 and (h - 1) % resync == 0:
+            s_cur, _ = exact_sincos(h)
+            s_prev, _ = exact_sincos(h - 1)
+        a_l = amps_l_ref[0, :, h - 1].reshape(ft, 1)
+        a_m = amps_m_ref[0, :, h - 1].reshape(ft, 1)
+        a_r = amps_r_ref[0, :, h - 1].reshape(ft, 1)
+        acc_l = acc_l + a_l * s_cur
+        acc_m = acc_m + a_m * s_cur
+        acc_r = acc_r + a_r * s_cur
+        s_prev, s_cur = s_cur, two_c * s_cur - s_prev
+
+    w = w_ref[:, :3]  # (hop, 3)
+    harm = (
+        acc_l * w[:, 0].reshape(1, hop)
+        + acc_m * w[:, 1].reshape(1, hop)
+        + acc_r * w[:, 2].reshape(1, hop)
+    )
+    loud = (
+        w[:, 0].reshape(1, hop) * loud_ref[0, :, 0].reshape(ft, 1)
+        + w[:, 1].reshape(1, hop) * loud_ref[0, :, LANE].reshape(ft, 1)
+        + w[:, 2].reshape(1, hop) * loud_ref[0, :, 2 * LANE].reshape(ft, 1)
+    )
+    out_ref[0] = harm * loud
 
 
 def _pallas_forward(
@@ -85,35 +161,47 @@ def _pallas_forward(
     amps_pad: jnp.ndarray,  # (B, T+2, H)
     loud_pad: jnp.ndarray,  # (B, T+2)
     frames_per_block: int,
+    resync: int = 32,
 ) -> jnp.ndarray:
     b, t, hop = phase1.shape
     h = amps_pad.shape[-1]
     hp = _round_up(h, LANE)
-    ft = frames_per_block
-    while t % ft:
-        ft //= 2
-    ft = max(ft, 1)
+    # TPU tiling: the block's sublane dim (frames) must be a multiple of 8.
+    ft = max(8, _round_up(frames_per_block, 8))
+    t_pad = _round_up(t, ft)
+    if t_pad != t:
+        grow = lambda x: jnp.pad(x, ((0, 0), (0, t_pad - t)) + ((0, 0),) * (x.ndim - 2))
+        phase1 = grow(phase1)
+        amps_pad = jnp.pad(amps_pad, ((0, 0), (0, t_pad - t), (0, 0)))
+        loud_pad = jnp.pad(loud_pad, ((0, 0), (0, t_pad - t)))
+    t_out = t
 
     amps_p = jnp.pad(amps_pad, ((0, 0), (0, 0), (0, hp - h)))
-    loud_p = jnp.broadcast_to(loud_pad[..., None], (*loud_pad.shape, LANE))
+    amps_l, amps_m, amps_r = amps_p[:, :-2], amps_p[:, 1:-1], amps_p[:, 2:]
+    # loudness (t-1, t, t+1) packed into three LANE-wide groups
+    loud_trip = jnp.stack([loud_pad[:, :-2], loud_pad[:, 1:-1], loud_pad[:, 2:]], -1)
+    loud_p = jnp.repeat(loud_trip, LANE, axis=-1)  # (B, T, 3*LANE)
     w = jnp.pad(jnp.asarray(hop_weights(hop)), ((0, 0), (0, 1)))  # (hop, 4)
 
+    t = t_pad
     grid = (b, t // ft)
+    amp_spec = pl.BlockSpec(
+        (1, ft, hp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(
+        _kernel_cheb, ft=ft, hop=hop, hp=hp, n_h=h, resync=resync
+    )
     out = pl.pallas_call(
-        functools.partial(_kernel, ft=ft, hop=hop, hp=hp),
+        kernel,
         out_shape=jax.ShapeDtypeStruct((b, t, hop), jnp.float32),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, ft, hop), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            amp_spec,
+            amp_spec,
+            amp_spec,
             pl.BlockSpec(
-                (1, ft + 2, hp),
-                lambda i, j: (i, j * ft, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, ft + 2, LANE),
-                lambda i, j: (i, j * ft, 0),
-                memory_space=pltpu.VMEM,
+                (1, ft, 3 * LANE), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec((hop, 4), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -122,11 +210,11 @@ def _pallas_forward(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * t * hop * hp * 4,
-            bytes_accessed=4 * (b * t * hop * 2 + b * t * hp),
+            bytes_accessed=4 * (b * t * hop * 2 + 3 * b * t * hp),
             transcendentals=b * t * hop * hp,
         ),
-    )(phase1, amps_p, loud_p, w)
-    return out.reshape(b, t * hop)
+    )(phase1, amps_l, amps_m, amps_r, loud_p, w)
+    return out[:, :t_out].reshape(b, t_out * hop)
 
 
 def _xla_reference(phase1, amps_pad, loud_pad):

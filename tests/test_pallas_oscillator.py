@@ -1,0 +1,70 @@
+"""Pallas fused oscillator: interpreter-mode equivalence vs the XLA path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ddsp_tpu.ops.oscillator import oscillator_bank
+from ddsp_tpu.ops.pallas.oscillator import oscillator_bank_pallas
+
+
+def _controls(b=2, t=8, h=20, sr=16000, seed=0):
+    rng = np.random.default_rng(seed)
+    f0 = rng.uniform(80.0, 600.0, (b, t, 1)).astype(np.float32)
+    amps = rng.uniform(0.01, 1.0, (b, t, h)).astype(np.float32)
+    loud = rng.uniform(0.0, 1.0, (b, t, 1)).astype(np.float32)
+    return f0, amps, loud
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    """CPU tests run the kernel through the Pallas interpreter."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    if jax.default_backend() == "cpu":
+        with pltpu.force_tpu_interpret_mode():
+            yield
+    else:
+        yield
+
+
+@pytest.mark.parametrize("hop", [128, 512])
+def test_matches_xla_path(snr, hop):
+    sr = 16000
+    f0, amps, loud = _controls(t=8, sr=sr)
+    want, wphase = oscillator_bank(f0, amps, loud, sample_rate=sr, hop=hop)
+    got, gphase = oscillator_bank_pallas(f0, amps, loud, sample_rate=sr, hop=hop)
+    assert got.shape == want.shape
+    assert snr(np.asarray(want), np.asarray(got)) > 80.0
+    np.testing.assert_allclose(np.asarray(gphase), np.asarray(wphase), atol=1e-6)
+
+
+def test_odd_frame_count_falls_back():
+    """T not divisible by frames_per_block: block size degrades gracefully."""
+    sr, hop = 16000, 64
+    f0, amps, loud = _controls(t=7, sr=sr)
+    got, _ = oscillator_bank_pallas(
+        f0, amps, loud, sample_rate=sr, hop=hop, frames_per_block=4
+    )
+    want, _ = oscillator_bank(f0, amps, loud, sample_rate=sr, hop=hop)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_gradients_match_xla(snr):
+    sr, hop = 16000, 64
+    f0, amps, loud = _controls(b=1, t=4, h=12, sr=sr)
+
+    def loss_pallas(a, l, f):
+        audio, _ = oscillator_bank_pallas(f, a, l, sample_rate=sr, hop=hop)
+        return jnp.sum(audio**2)
+
+    def loss_xla(a, l, f):
+        audio, _ = oscillator_bank(f, a, l, sample_rate=sr, hop=hop)
+        return jnp.sum(audio**2)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(amps, loud, f0)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(amps, loud, f0)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
