@@ -1,0 +1,184 @@
+"""Native (C++) runtime components with build-on-demand ctypes bindings.
+
+The TPU compute path is JAX/XLA/Pallas; the host-side runtime around it --
+the real-time audio exchange and sample-format conversion -- is native C++
+(ddsp_tpu/native/ringbuffer.cpp), compiled once with g++ into a cached
+shared object and bound via ctypes.  A pure-Python fallback keeps every
+feature working where no compiler exists.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+import threading
+from typing import Optional
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ringbuffer.cpp")
+_LIB_CACHE: dict = {}
+_LOCK = threading.Lock()
+
+
+def _build_library() -> Optional[ctypes.CDLL]:
+    cache_dir = os.environ.get(
+        "DDSP_TPU_NATIVE_CACHE",
+        os.path.join(tempfile.gettempdir(), "ddsp_tpu_native"),
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    lib_path = os.path.join(cache_dir, "libddsp_native.so")
+    if not os.path.exists(lib_path) or os.path.getmtime(lib_path) < os.path.getmtime(_SRC):
+        tmp = lib_path + f".tmp{os.getpid()}"
+        cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", tmp, _SRC]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            os.replace(tmp, lib_path)
+        except (OSError, subprocess.SubprocessError):
+            return None
+    try:
+        lib = ctypes.CDLL(lib_path)
+    except OSError:
+        return None
+    u64 = ctypes.c_uint64
+    fp = ctypes.POINTER(ctypes.c_float)
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    lib.rb_create.restype = ctypes.c_void_p
+    lib.rb_create.argtypes = [u64]
+    lib.rb_destroy.argtypes = [ctypes.c_void_p]
+    lib.rb_capacity.restype = u64
+    lib.rb_capacity.argtypes = [ctypes.c_void_p]
+    for name in ["rb_readable", "rb_writable"]:
+        getattr(lib, name).restype = u64
+        getattr(lib, name).argtypes = [ctypes.c_void_p]
+    for name in ["rb_write", "rb_read", "rb_peek"]:
+        getattr(lib, name).restype = u64
+        getattr(lib, name).argtypes = [ctypes.c_void_p, fp, u64]
+    lib.pcm16_to_f32.argtypes = [i16p, fp, u64]
+    lib.f32_to_pcm16.argtypes = [fp, i16p, u64]
+    return lib
+
+
+def get_library() -> Optional[ctypes.CDLL]:
+    """Compile (once) and load the native library; None if unavailable."""
+    with _LOCK:
+        if "lib" not in _LIB_CACHE:
+            _LIB_CACHE["lib"] = _build_library()
+        return _LIB_CACHE["lib"]
+
+
+def native_available() -> bool:
+    return get_library() is not None
+
+
+class RingBuffer:
+    """Lock-free SPSC float ring buffer (native; Python fallback).
+
+    One producer thread calls :meth:`write`, one consumer thread calls
+    :meth:`read`/:meth:`peek`.  Capacity is rounded up to a power of two.
+    """
+
+    def __init__(self, capacity: int, force_python: bool = False):
+        self._lib = None if force_python else get_library()
+        if self._lib is not None:
+            self._handle = self._lib.rb_create(capacity)
+            if not self._handle:
+                raise MemoryError("rb_create failed")
+            self.capacity = int(self._lib.rb_capacity(self._handle))
+        else:
+            cap = 1
+            while cap < max(capacity, 2):
+                cap *= 2
+            self.capacity = cap
+            self._data = np.zeros(cap, np.float32)
+            self._head = 0
+            self._tail = 0
+            self._plock = threading.Lock()
+
+    def __del__(self):
+        lib = getattr(self, "_lib", None)
+        handle = getattr(self, "_handle", None)
+        if lib is not None and handle:
+            lib.rb_destroy(handle)
+            self._handle = None
+
+    # --- native-backed paths -------------------------------------------------
+    def _ptr(self, arr: np.ndarray):
+        return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+    def write(self, samples: np.ndarray) -> int:
+        samples = np.ascontiguousarray(samples, np.float32)
+        if self._lib is not None:
+            return int(self._lib.rb_write(self._handle, self._ptr(samples), len(samples)))
+        with self._plock:
+            space = self.capacity - (self._head - self._tail)
+            n = min(len(samples), space)
+            idx = (self._head + np.arange(n)) & (self.capacity - 1)
+            self._data[idx] = samples[:n]
+            self._head += n
+            return n
+
+    def read(self, n: int) -> np.ndarray:
+        out = np.empty(n, np.float32)
+        if self._lib is not None:
+            got = int(self._lib.rb_read(self._handle, self._ptr(out), n))
+            return out[:got]
+        with self._plock:
+            avail = self._head - self._tail
+            got = min(n, avail)
+            idx = (self._tail + np.arange(got)) & (self.capacity - 1)
+            out[:got] = self._data[idx]
+            self._tail += got
+            return out[:got]
+
+    def peek(self, n: int) -> np.ndarray:
+        out = np.empty(n, np.float32)
+        if self._lib is not None:
+            got = int(self._lib.rb_peek(self._handle, self._ptr(out), n))
+            return out[:got]
+        with self._plock:
+            avail = self._head - self._tail
+            got = min(n, avail)
+            idx = (self._tail + np.arange(got)) & (self.capacity - 1)
+            out[:got] = self._data[idx]
+            return out[:got]
+
+    def readable(self) -> int:
+        if self._lib is not None:
+            return int(self._lib.rb_readable(self._handle))
+        return self._head - self._tail
+
+    def writable(self) -> int:
+        return self.capacity - self.readable()
+
+
+def pcm16_to_f32(pcm: np.ndarray) -> np.ndarray:
+    """int16 -> float32 in [-1, 1), native when available."""
+    pcm = np.ascontiguousarray(pcm, np.int16)
+    lib = get_library()
+    out = np.empty(pcm.shape, np.float32)
+    if lib is not None and pcm.ndim == 1:
+        lib.pcm16_to_f32(
+            pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            pcm.size,
+        )
+        return out
+    return (pcm.astype(np.float32) / 32768.0).astype(np.float32)
+
+
+def f32_to_pcm16(audio: np.ndarray) -> np.ndarray:
+    """float32 -> clipped int16, native when available."""
+    audio = np.ascontiguousarray(audio, np.float32)
+    lib = get_library()
+    if lib is not None and audio.ndim == 1:
+        out = np.empty(audio.shape, np.int16)
+        lib.f32_to_pcm16(
+            audio.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            audio.size,
+        )
+        return out
+    return np.clip(audio * 32767.0, -32768, 32767).astype(np.int16)

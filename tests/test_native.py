@@ -1,0 +1,122 @@
+"""Native ring buffer + PCM conversion + threaded synthesizer."""
+
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+
+from ddsp_tpu.native import (
+    RingBuffer,
+    f32_to_pcm16,
+    native_available,
+    pcm16_to_f32,
+)
+
+
+@pytest.fixture(params=["native", "python"])
+def ring_mode(request):
+    if request.param == "native" and not native_available():
+        pytest.skip("no C++ toolchain")
+    return request.param == "python"
+
+
+def test_ring_basic(ring_mode):
+    rb = RingBuffer(100, force_python=ring_mode)
+    assert rb.capacity == 128
+    assert rb.write(np.arange(10, dtype=np.float32)) == 10
+    assert rb.readable() == 10
+    np.testing.assert_array_equal(rb.peek(4), np.arange(4, dtype=np.float32))
+    np.testing.assert_array_equal(rb.read(6), np.arange(6, dtype=np.float32))
+    assert rb.readable() == 4
+    np.testing.assert_array_equal(rb.read(10), np.arange(6, 10, dtype=np.float32))
+
+
+def test_ring_wraparound_and_overflow(ring_mode):
+    rb = RingBuffer(8, force_python=ring_mode)  # capacity 8
+    assert rb.write(np.ones(6, np.float32)) == 6
+    rb.read(6)
+    # writes now wrap the underlying storage
+    x = np.arange(8, dtype=np.float32)
+    assert rb.write(x) == 8
+    assert rb.write(np.ones(3, np.float32)) == 0  # full
+    np.testing.assert_array_equal(rb.read(8), x)
+
+
+def test_ring_threaded_stream(ring_mode):
+    """Producer/consumer on separate threads: all samples arrive in order."""
+    rb = RingBuffer(1 << 12, force_python=ring_mode)
+    total = 200_000
+    src = np.random.default_rng(0).standard_normal(total).astype(np.float32)
+    received = []
+
+    def producer():
+        pos = 0
+        while pos < total:
+            pos += rb.write(src[pos : pos + 777])
+
+    def consumer():
+        got = 0
+        while got < total:
+            chunk = rb.read(1024)
+            got += len(chunk)
+            if len(chunk):
+                received.append(chunk)
+
+    tp, tc = threading.Thread(target=producer), threading.Thread(target=consumer)
+    tp.start(); tc.start(); tp.join(timeout=30); tc.join(timeout=30)
+    out = np.concatenate(received)
+    assert out.shape == (total,)
+    np.testing.assert_array_equal(out, src)
+
+
+def test_pcm_roundtrip():
+    x = np.linspace(-1, 1, 1000).astype(np.float32) * 0.99
+    pcm = f32_to_pcm16(x)
+    back = pcm16_to_f32(pcm)
+    # truncating quantizer + 32767/32768 scale bias -> up to ~2 LSB
+    np.testing.assert_allclose(back, x, atol=2.5 / 32768)
+    # clipping
+    assert f32_to_pcm16(np.asarray([2.0], np.float32))[0] == 32767
+    assert f32_to_pcm16(np.asarray([-2.0], np.float32))[0] == -32768
+
+
+def test_threaded_synthesizer_stream():
+    from ddsp_tpu.config import Config
+    from ddsp_tpu.models.controller import decoder_init
+    from ddsp_tpu.models.crepe import crepe_init
+    from ddsp_tpu.runtime.threaded import ThreadedSynthesizer
+
+    conf = Config(
+        sample_rate=4000,
+        n_fft=256,
+        hop_length=64,
+        n_harmonics=12,
+        n_noise_filters=9,
+        decoder_mlp_units=16,
+        decoder_mlp_layers=1,
+        decoder_gru_units=16,
+        reverb_length=256,
+        crepe_window=1024,
+        crepe_sample_rate=16000,
+    )
+    params = decoder_init(jax.random.PRNGKey(0), conf)
+    crepe = crepe_init(jax.random.PRNGKey(1), "tiny")
+    t = np.arange(conf.sample_rate) / conf.sample_rate
+    mic = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    hop = conf.hop_length
+    with ThreadedSynthesizer(params, crepe, conf, latency_hops=3) as synth:
+        outs = []
+        import time
+
+        for i in range(40):
+            synth.push(mic[i * hop : (i + 1) * hop])
+            time.sleep(0.002)  # give the worker a chance (2-CPU host)
+            outs.append(synth.pull(hop))
+        # drain the worker fully
+        time.sleep(0.5)
+        tail = synth.pull(hop)
+    out = np.concatenate(outs + [tail])
+    assert np.isfinite(out).all()
+    assert out.shape == (41 * hop,)
