@@ -100,10 +100,9 @@ def gru_init(key, n_in: int, n_hidden: int, n_layers: int = 1, dtype=jnp.float32
     return {"layers": layers}
 
 
-def gru_cell(p: Params, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    """One torch-semantics GRU step.  h, x: (B, H), (B, in)."""
+def _gru_recurrence(p: Params, h: jnp.ndarray, gi: jnp.ndarray) -> jnp.ndarray:
+    """Hidden update given precomputed input projections gi = x W_ih^T + b_ih."""
     nh = h.shape[-1]
-    gi = x @ p["w_ih"].T + p["b_ih"]
     gh = h @ p["w_hh"].T + p["b_hh"]
     i_r, i_z, i_n = gi[..., :nh], gi[..., nh : 2 * nh], gi[..., 2 * nh :]
     h_r, h_z, h_n = gh[..., :nh], gh[..., nh : 2 * nh], gh[..., 2 * nh :]
@@ -111,6 +110,11 @@ def gru_cell(p: Params, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     z = jax.nn.sigmoid(i_z + h_z)
     n = jnp.tanh(i_n + r * h_n)
     return (1.0 - z) * n + z * h
+
+
+def gru_cell(p: Params, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """One torch-semantics GRU step.  h, x: (B, H), (B, in)."""
+    return _gru_recurrence(p, h, x @ p["w_ih"].T + p["b_ih"])
 
 
 def gru_apply(
@@ -135,11 +139,15 @@ def gru_apply(
     finals = []
     seq = x
     for li, lp in enumerate(p["layers"]):
-        def step(h, xt, lp=lp):
-            hn = gru_cell(lp, h, xt)
+        # All timesteps' input projections in one MXU matmul; only the
+        # hidden-to-hidden recurrence stays inside the sequential scan.
+        gi = seq @ lp["w_ih"].T + lp["b_ih"]  # (B, T, 3H)
+
+        def step(h, gi_t, lp=lp):
+            hn = _gru_recurrence(lp, h, gi_t)
             return hn, hn
 
-        hT, ys = jax.lax.scan(step, h0[li], jnp.moveaxis(seq, 0, 1))
+        hT, ys = jax.lax.scan(step, h0[li], jnp.moveaxis(gi, 0, 1), unroll=4)
         seq = jnp.moveaxis(ys, 0, 1)
         finals.append(hT)
     return seq, jnp.stack(finals)
