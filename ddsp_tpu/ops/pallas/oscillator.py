@@ -10,9 +10,11 @@ builds the sine block, contracts over harmonics in-register, and writes only
 the (frames, hop) audio block -- HBM traffic drops from O(T*hop*H) to
 O(T*hop + T*H).
 
-Forward-only kernel with a custom VJP whose backward rematerializes through
-the XLA path (gradients w.r.t. phase, amps, loudness are exact; the sine
-basis is recomputed, trading FLOPs for HBM like jax.checkpoint).
+Both directions are hand-written kernels: the forward accumulates the
+harmonic sum with a Chebyshev sine recurrence; the backward regenerates
+sin AND cos with dual recurrences in one pass and emits d(phase),
+d(amp windows), d(loudness windows) directly -- no harmonic-resolved
+tensor ever touches HBM in either direction.
 
 Split-precision phase trick shared with ops/oscillator.harmonic_sines:
 phi = hi + lo with hi on a 1/4096 grid -> h*hi exact in f32.
@@ -218,10 +220,246 @@ def _pallas_forward(
 
 
 def _xla_reference(phase1, amps_pad, loud_pad):
-    """Pure-XLA equivalent used for the backward pass (rematerialized)."""
+    """Pure-XLA equivalent (kept for interpret-mode cross-checks)."""
     from ddsp_tpu.ops.oscillator import _render_from_phase
 
     return _render_from_phase(phase1, amps_pad, loud_pad, amps_pad.shape[-1])
+
+
+def _kernel_cheb_bwd(
+    g_ref,  # (1, FT, hop) dL/daudio
+    phase_ref,  # (1, FT, hop)
+    amps_l_ref,  # (1, FT, HP)
+    amps_m_ref,  # (1, FT, HP)
+    amps_r_ref,  # (1, FT, HP)
+    loud_ref,  # (1, FT, 3*LANE)
+    w_ref,  # (hop, 4)
+    dphase_ref,  # out (1, FT, hop)
+    da_l_ref,  # out (1, FT, HP)
+    da_m_ref,  # out (1, FT, HP)
+    da_r_ref,  # out (1, FT, HP)
+    dloud_ref,  # out (1, FT, 3) per-window loudness grads
+    sin_ref,  # VMEM scratch (FT, HP, hop)
+    cos_ref,  # VMEM scratch (FT, HP, hop)
+    *,
+    ft: int,
+    hop: int,
+    hp: int,
+    n_h: int,
+    resync: int,
+):
+    """One-pass backward: dual sin/cos Chebyshev recurrences fill VMEM
+    scratch with harmonics on the SUBLANE axis (cheap per-h stores), then
+    every gradient is a batched MXU contraction -- nothing harmonic-resolved
+    touches HBM.
+
+    out(j) = loud(j) * sum_h a_mix_h(j) sin(2 pi h phi(j)),
+    a_mix_h(j) = sum_k w_k(j) a_k[h]:
+      d a_k[h]   = sum_j g loud w_k sin(2 pi h phi)
+      d phi(j)   = g loud 2 pi sum_h h a_mix_h cos(2 pi h phi)
+      d loud_k   = sum_j g w_k harm(j)
+    """
+    phase = phase_ref[0]
+    ang = TWO_PI * phase
+    c1 = jnp.cos(ang)
+    s1 = jnp.sin(ang)
+    two_c = 2.0 * c1
+    hi_p = jnp.floor(phase * QUANT) * (1.0 / QUANT)
+    lo_p = phase - hi_p
+
+    def exact_sincos(h_int):
+        coarse = hi_p * float(h_int)
+        coarse = coarse - jnp.floor(coarse)
+        frac = coarse + lo_p * float(h_int)
+        frac = frac - jnp.floor(frac)
+        a = TWO_PI * frac
+        return jnp.sin(a), jnp.cos(a)
+
+    # 1. generate the sine/cosine banks (h on the sublane axis).  The loop
+    # over resync groups stays rolled (small Mosaic program; the fully
+    # unrolled variant compiles pathologically slowly); each group seeds
+    # exactly once and unrolls `resync` cheap recurrence steps.
+    del s1, c1  # seeds are recomputed exactly per group
+    groups = -(-n_h // resync)
+
+    def exact_sincos_traced(h_f):
+        coarse = hi_p * h_f
+        coarse = coarse - jnp.floor(coarse)
+        frac = coarse + lo_p * h_f
+        frac = frac - jnp.floor(frac)
+        a = TWO_PI * frac
+        return jnp.sin(a), jnp.cos(a)
+
+    def group_body(gi, _):
+        base = gi * resync  # first h-1 index of this group
+        base_f = base.astype(jnp.float32)
+        s_cur, c_cur = exact_sincos_traced(base_f + 1.0)
+        s_prev, c_prev = exact_sincos_traced(base_f)
+        for k in range(resync):
+            h_f = base_f + float(k + 1)
+            sin_ref[:, pl.ds(base + k, 1), :] = s_cur[:, None, :]
+            cos_ref[:, pl.ds(base + k, 1), :] = ((h_f * TWO_PI) * c_cur)[:, None, :]
+            s_prev, s_cur = s_cur, two_c * s_cur - s_prev
+            c_prev, c_cur = c_cur, two_c * c_cur - c_prev
+        return _
+
+    jax.lax.fori_loop(0, groups, group_body, 0)
+
+    def zero_body(h, _):
+        sin_ref[:, pl.ds(h, 1), :] = jnp.zeros((ft, 1, hop), jnp.float32)
+        cos_ref[:, pl.ds(h, 1), :] = jnp.zeros((ft, 1, hop), jnp.float32)
+        return _
+
+    jax.lax.fori_loop(groups * resync, hp, zero_body, 0)
+
+    # 2. contractions on the MXU
+    w = w_ref[:, :3]
+    wl = w[:, 0].reshape(1, hop)
+    wm = w[:, 1].reshape(1, hop)
+    wr = w[:, 2].reshape(1, hop)
+    loud_up = (
+        wl * loud_ref[0, :, 0].reshape(ft, 1)
+        + wm * loud_ref[0, :, LANE].reshape(ft, 1)
+        + wr * loud_ref[0, :, 2 * LANE].reshape(ft, 1)
+    )
+    g = g_ref[0]
+    ql = g * loud_up  # (ft, hop)
+
+    # Mosaic dot_general handles plain 2-D matmuls; loop the small static
+    # frame dim and batch the three windows into one operand instead.
+    dloud_rows = []
+    for f in range(ft):
+        sines_f = sin_ref[f, :, :]  # (hp, hop)
+        coses_f = cos_ref[f, :, :]
+        qw3 = jnp.concatenate(
+            [
+                (ql[f] * wl[0]).reshape(1, hop),
+                (ql[f] * wm[0]).reshape(1, hop),
+                (ql[f] * wr[0]).reshape(1, hop),
+            ],
+            axis=0,
+        )  # (3, hop)
+        da3 = jax.lax.dot_general(
+            qw3, sines_f, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (3, hp)
+        da_l_ref[0, f, :] = da3[0]
+        da_m_ref[0, f, :] = da3[1]
+        da_r_ref[0, f, :] = da3[2]
+
+        a3 = jnp.concatenate(
+            [
+                amps_l_ref[0, f, :].reshape(1, hp),
+                amps_m_ref[0, f, :].reshape(1, hp),
+                amps_r_ref[0, f, :].reshape(1, hp),
+            ],
+            axis=0,
+        )  # (3, hp)
+        harm3 = jax.lax.dot_general(
+            a3, sines_f, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (3, hop): per-window harmonic sums
+        dphi3 = jax.lax.dot_general(
+            a3, coses_f, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        harm = wl[0] * harm3[0] + wm[0] * harm3[1] + wr[0] * harm3[2]
+        dphi = wl[0] * dphi3[0] + wm[0] * dphi3[1] + wr[0] * dphi3[2]
+        dphase_ref[0, f, :] = ql[f] * dphi
+        gh = g[f] * harm  # (hop,)
+        dloud_rows.append(
+            jnp.concatenate(
+                [
+                    jnp.sum(gh * wl[0]).reshape(1, 1),
+                    jnp.sum(gh * wm[0]).reshape(1, 1),
+                    jnp.sum(gh * wr[0]).reshape(1, 1),
+                ],
+                axis=1,
+            )
+        )
+    dloud_ref[0] = jnp.concatenate(dloud_rows, axis=0)  # (ft, 3)
+
+
+def _pallas_backward(
+    phase1: jnp.ndarray,
+    amps_pad: jnp.ndarray,
+    loud_pad: jnp.ndarray,
+    g: jnp.ndarray,  # (B, T*hop)
+    frames_per_block: int,
+    resync: int = 32,
+):
+    b, t, hop = phase1.shape
+    h = amps_pad.shape[-1]
+    hp = _round_up(h, LANE)
+    ft = max(8, _round_up(frames_per_block, 8))
+    t_pad = _round_up(t, ft)
+    g3 = g.reshape(b, t, hop)
+    if t_pad != t:
+        grow = lambda x: jnp.pad(x, ((0, 0), (0, t_pad - t)) + ((0, 0),) * (x.ndim - 2))
+        phase1, g3 = grow(phase1), grow(g3)
+        amps_pad = jnp.pad(amps_pad, ((0, 0), (0, t_pad - t), (0, 0)))
+        loud_pad = jnp.pad(loud_pad, ((0, 0), (0, t_pad - t)))
+    t_out = t
+
+    amps_p = jnp.pad(amps_pad, ((0, 0), (0, 0), (0, hp - h)))
+    amps_l, amps_m, amps_r = amps_p[:, :-2], amps_p[:, 1:-1], amps_p[:, 2:]
+    loud_trip = jnp.stack([loud_pad[:, :-2], loud_pad[:, 1:-1], loud_pad[:, 2:]], -1)
+    loud_p = jnp.repeat(loud_trip, LANE, axis=-1)
+    w = jnp.pad(jnp.asarray(hop_weights(hop)), ((0, 0), (0, 1)))
+
+    t = t_pad
+    grid = (b, t // ft)
+    spec_hop = pl.BlockSpec((1, ft, hop), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    spec_amp = pl.BlockSpec((1, ft, hp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _kernel_cheb_bwd, ft=ft, hop=hop, hp=hp, n_h=h, resync=resync
+    )
+    dphase, da_l, da_m, da_r, dloud = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t, hop), jnp.float32),
+            jax.ShapeDtypeStruct((b, t, hp), jnp.float32),
+            jax.ShapeDtypeStruct((b, t, hp), jnp.float32),
+            jax.ShapeDtypeStruct((b, t, hp), jnp.float32),
+            jax.ShapeDtypeStruct((b, t, 3), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            spec_hop,  # g
+            spec_hop,  # phase
+            spec_amp,
+            spec_amp,
+            spec_amp,
+            pl.BlockSpec((1, ft, 3 * LANE), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hop, 4), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            spec_hop,
+            spec_amp,
+            spec_amp,
+            spec_amp,
+            pl.BlockSpec((1, ft, 3), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((ft, hp, hop), jnp.float32),  # sine bank
+            pltpu.VMEM((ft, hp, hop), jnp.float32),  # 2*pi*h*cos bank
+        ],
+    )(g3, phase1, amps_l, amps_m, amps_r, loud_p, w)
+
+    dphase = dphase[:, :t_out]
+    da_l = da_l[:, :t_out, :h]
+    da_m = da_m[:, :t_out, :h]
+    da_r = da_r[:, :t_out, :h]
+    dloud = dloud[:, :t_out]
+
+    # reassemble grads of the edge-padded (T+2) frame arrays: view k of frame
+    # window (t-1, t, t+1) contributes to padded index t + k.
+    zpad = lambda x, lo, hi: jnp.pad(x, ((0, 0), (lo, hi)) + ((0, 0),) * (x.ndim - 2))
+    d_amps_pad = zpad(da_l, 0, 2) + zpad(da_m, 1, 1) + zpad(da_r, 2, 0)
+    d_loud_pad = (
+        zpad(dloud[..., 0], 0, 2) + zpad(dloud[..., 1], 1, 1) + zpad(dloud[..., 2], 2, 0)
+    )
+    return dphase, d_amps_pad, d_loud_pad
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -242,8 +480,7 @@ def _fwd(phase1, amps_pad, loud_pad, frames_per_block):
 
 def _bwd(frames_per_block, residuals, g):
     phase1, amps_pad, loud_pad = residuals
-    _, vjp = jax.vjp(_xla_reference, phase1, amps_pad, loud_pad)
-    return vjp(g)
+    return _pallas_backward(phase1, amps_pad, loud_pad, g, frames_per_block)
 
 
 pallas_render_from_phase.defvjp(_fwd, _bwd)

@@ -25,9 +25,21 @@ from ddsp_tpu.ops.fir import hann_window
 
 
 def frame_signal(x: jnp.ndarray, frame_length: int, hop: int) -> jnp.ndarray:
-    """(..., L) -> (..., n_frames, frame_length) overlapping frames."""
+    """(..., L) -> (..., n_frames, frame_length) overlapping frames.
+
+    When the hop divides both the frame length and the signal length the
+    framing is a reshape plus ``frame_length/hop`` static slices -- whose
+    backward is a handful of pads (cheap on TPU).  The general case falls
+    back to a gather, whose backward is a scatter-add (slow on TPU; avoid
+    in training loss paths).
+    """
     length = x.shape[-1]
     n_frames = 1 + (length - frame_length) // hop
+    if frame_length % hop == 0 and length % hop == 0:
+        blocks = x.reshape(*x.shape[:-1], length // hop, hop)
+        k = frame_length // hop
+        parts = [blocks[..., i : i + n_frames, :] for i in range(k)]
+        return jnp.concatenate(parts, axis=-1)
     idx = np.arange(n_frames)[:, None] * hop + np.arange(frame_length)[None, :]
     return x[..., idx]
 
