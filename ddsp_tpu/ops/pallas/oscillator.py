@@ -42,48 +42,56 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def _kernel(
-    phase_ref,  # (1, FT, hop)
-    amps_l_ref,  # (1, FT, HP) amplitudes of frame t-1
-    amps_m_ref,  # (1, FT, HP) amplitudes of frame t
-    amps_r_ref,  # (1, FT, HP) amplitudes of frame t+1
-    loud_ref,  # (1, FT, 3*LANE) loudness (t-1, t, t+1) per lane group
-    w_ref,  # (hop, 4) interp weights (padded from 3)
-    out_ref,  # (1, FT, hop)
-    *,
-    ft: int,
-    hop: int,
-    hp: int,
-):
-    h = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, hp), 1).astype(jnp.float32) + 1.0
-    )  # (1, HP) harmonic numbers
-    w = w_ref[:, :3]  # (hop, 3)
-    for f in range(ft):
-        phase = phase_ref[0, f, :].reshape(hop, 1)  # fractional cycles
-        hi = jnp.floor(phase * QUANT) * (1.0 / QUANT)
-        lo = phase - hi
-        coarse = hi * h  # (hop, HP), exact multiples of 1/4096
-        coarse = coarse - jnp.floor(coarse)
-        frac = coarse + lo * h
-        frac = frac - jnp.floor(frac)
-        sines = jnp.sin(TWO_PI * frac)  # (hop, HP)
+def _fill_sine_bank(sin_ref, cos_ref, phase, ft, hop, hp, n_h, resync):
+    """Fill VMEM scratch bank(s) with sin(2 pi h phi) (and, if ``cos_ref``
+    is not None, 2 pi h cos(2 pi h phi)) for h = 1..n_h, h on the sublane
+    axis.
 
-        # harmonic sums against the three neighboring frames' amplitudes
-        s = jnp.concatenate(
-            [
-                jnp.sum(sines * ref[0, f, :].reshape(1, hp), axis=1, keepdims=True)
-                for ref in (amps_l_ref, amps_m_ref, amps_r_ref)
-            ],
-            axis=1,
-        )  # (hop, 3)
-        harm = jnp.sum(s * w, axis=1)  # (hop,)
-        loud = (
-            w[:, 0] * loud_ref[0, f, 0]
-            + w[:, 1] * loud_ref[0, f, LANE]
-            + w[:, 2] * loud_ref[0, f, 2 * LANE]
-        )
-        out_ref[0, f, :] = harm * loud
+    Chebyshev three-term recurrences generate each harmonic from the
+    previous two with ~2 FMAs instead of a transcendental; the rolled loop
+    over resync groups keeps the Mosaic program small (a fully unrolled
+    variant compiles pathologically slowly) and each group re-seeds with an
+    exact split-precision evaluation so float32 drift cannot accumulate.
+    """
+    ang = TWO_PI * phase
+    two_c = 2.0 * jnp.cos(ang)
+    hi_p = jnp.floor(phase * QUANT) * (1.0 / QUANT)
+    lo_p = phase - hi_p
+    groups = -(-n_h // resync)
+
+    def exact_sincos(h_f):
+        coarse = hi_p * h_f
+        coarse = coarse - jnp.floor(coarse)
+        frac = coarse + lo_p * h_f
+        frac = frac - jnp.floor(frac)
+        a = TWO_PI * frac
+        return jnp.sin(a), jnp.cos(a)
+
+    def group_body(gi, _):
+        base = gi * resync
+        base_f = base.astype(jnp.float32)
+        s_cur, c_cur = exact_sincos(base_f + 1.0)
+        s_prev, c_prev = exact_sincos(base_f)
+        for k in range(resync):
+            h_f = base_f + float(k + 1)
+            sin_ref[:, pl.ds(base + k, 1), :] = s_cur[:, None, :]
+            if cos_ref is not None:
+                cos_ref[:, pl.ds(base + k, 1), :] = ((h_f * TWO_PI) * c_cur)[
+                    :, None, :
+                ]
+            s_prev, s_cur = s_cur, two_c * s_cur - s_prev
+            c_prev, c_cur = c_cur, two_c * c_cur - c_prev
+        return _
+
+    jax.lax.fori_loop(0, groups, group_body, 0)
+
+    def zero_body(h, _):
+        sin_ref[:, pl.ds(h, 1), :] = jnp.zeros((ft, 1, hop), jnp.float32)
+        if cos_ref is not None:
+            cos_ref[:, pl.ds(h, 1), :] = jnp.zeros((ft, 1, hop), jnp.float32)
+        return _
+
+    jax.lax.fori_loop(groups * resync, hp, zero_body, 0)
 
 
 def _kernel_cheb(
@@ -158,6 +166,13 @@ def _kernel_cheb(
     out_ref[0] = harm * loud
 
 
+def _xla_reference(phase1, amps_pad, loud_pad):
+    """Pure-XLA equivalent (kept for interpret-mode cross-checks)."""
+    from ddsp_tpu.ops.oscillator import _render_from_phase
+
+    return _render_from_phase(phase1, amps_pad, loud_pad, amps_pad.shape[-1])
+
+
 def _pallas_forward(
     phase1: jnp.ndarray,  # (B, T, hop)
     amps_pad: jnp.ndarray,  # (B, T+2, H)
@@ -219,13 +234,6 @@ def _pallas_forward(
     return out[:, :t_out].reshape(b, t_out * hop)
 
 
-def _xla_reference(phase1, amps_pad, loud_pad):
-    """Pure-XLA equivalent (kept for interpret-mode cross-checks)."""
-    from ddsp_tpu.ops.oscillator import _render_from_phase
-
-    return _render_from_phase(phase1, amps_pad, loud_pad, amps_pad.shape[-1])
-
-
 def _kernel_cheb_bwd(
     g_ref,  # (1, FT, hop) dL/daudio
     phase_ref,  # (1, FT, hop)
@@ -260,57 +268,8 @@ def _kernel_cheb_bwd(
       d loud_k   = sum_j g w_k harm(j)
     """
     phase = phase_ref[0]
-    ang = TWO_PI * phase
-    c1 = jnp.cos(ang)
-    s1 = jnp.sin(ang)
-    two_c = 2.0 * c1
-    hi_p = jnp.floor(phase * QUANT) * (1.0 / QUANT)
-    lo_p = phase - hi_p
-
-    def exact_sincos(h_int):
-        coarse = hi_p * float(h_int)
-        coarse = coarse - jnp.floor(coarse)
-        frac = coarse + lo_p * float(h_int)
-        frac = frac - jnp.floor(frac)
-        a = TWO_PI * frac
-        return jnp.sin(a), jnp.cos(a)
-
-    # 1. generate the sine/cosine banks (h on the sublane axis).  The loop
-    # over resync groups stays rolled (small Mosaic program; the fully
-    # unrolled variant compiles pathologically slowly); each group seeds
-    # exactly once and unrolls `resync` cheap recurrence steps.
-    del s1, c1  # seeds are recomputed exactly per group
-    groups = -(-n_h // resync)
-
-    def exact_sincos_traced(h_f):
-        coarse = hi_p * h_f
-        coarse = coarse - jnp.floor(coarse)
-        frac = coarse + lo_p * h_f
-        frac = frac - jnp.floor(frac)
-        a = TWO_PI * frac
-        return jnp.sin(a), jnp.cos(a)
-
-    def group_body(gi, _):
-        base = gi * resync  # first h-1 index of this group
-        base_f = base.astype(jnp.float32)
-        s_cur, c_cur = exact_sincos_traced(base_f + 1.0)
-        s_prev, c_prev = exact_sincos_traced(base_f)
-        for k in range(resync):
-            h_f = base_f + float(k + 1)
-            sin_ref[:, pl.ds(base + k, 1), :] = s_cur[:, None, :]
-            cos_ref[:, pl.ds(base + k, 1), :] = ((h_f * TWO_PI) * c_cur)[:, None, :]
-            s_prev, s_cur = s_cur, two_c * s_cur - s_prev
-            c_prev, c_cur = c_cur, two_c * c_cur - c_prev
-        return _
-
-    jax.lax.fori_loop(0, groups, group_body, 0)
-
-    def zero_body(h, _):
-        sin_ref[:, pl.ds(h, 1), :] = jnp.zeros((ft, 1, hop), jnp.float32)
-        cos_ref[:, pl.ds(h, 1), :] = jnp.zeros((ft, 1, hop), jnp.float32)
-        return _
-
-    jax.lax.fori_loop(groups * resync, hp, zero_body, 0)
+    # 1. shared sine/cosine bank generation (h on the sublane axis)
+    _fill_sine_bank(sin_ref, cos_ref, phase, ft, hop, hp, n_h, resync)
 
     # 2. contractions on the MXU
     w = w_ref[:, :3]
