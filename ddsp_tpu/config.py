@@ -60,6 +60,10 @@ class Config:
 
     # --- numerics / hardware ------------------------------------------------
     compute_dtype: str = "float32"  # dtype for neural net matmuls
+    # dtype of the MSS-loss STFT matmul inputs (float32 accumulation).
+    # 'bfloat16' doubles MXU rate on the loss, mirroring the reference's
+    # fp16-AMP training (train/train.py:50); set 'float32' for exact evals.
+    loss_matmul_dtype: str = "bfloat16"
     osc_impl: str = "auto"  # 'auto' | 'xla' | 'pallas'
 
     # --- parallelism --------------------------------------------------------

@@ -27,11 +27,18 @@ def sss_loss(
     alpha: float = 1.0,
     overlap: float = 0.75,
     eps: float = 1e-7,
+    matmul_dtype=None,
 ) -> jnp.ndarray:
-    """Single-scale spectral loss (reference loss/mss_loss.py:11-33)."""
+    """Single-scale spectral loss (reference loss/mss_loss.py:11-33).
+
+    ``matmul_dtype=jnp.bfloat16`` runs the STFT matmuls at 2x MXU rate with
+    float32 accumulation -- the training-path default (Config
+    .loss_matmul_dtype), numerically in the spirit of the reference's fp16
+    AMP training (train/train.py:50); leave None for exact-parity evals.
+    """
     hop = int(n_fft * (1 - overlap))
-    s_pred = spectrogram(pred, n_fft, hop)
-    s_true = spectrogram(true, n_fft, hop)
+    s_pred = spectrogram(pred, n_fft, hop, matmul_dtype=matmul_dtype)
+    s_true = spectrogram(true, n_fft, hop, matmul_dtype=matmul_dtype)
     linear_term = jnp.mean(jnp.abs(s_pred - s_true))
     log_term = jnp.mean(
         jnp.abs(jnp.log2(s_true + eps) - jnp.log2(s_pred + eps))
@@ -46,9 +53,12 @@ def mss_loss(
     alpha: float = 1.0,
     overlap: float = 0.75,
     eps: float = 1e-7,
+    matmul_dtype=None,
 ) -> jnp.ndarray:
     """Multi-scale spectral loss (reference loss/mss_loss.py:36-68)."""
-    return sum(sss_loss(pred, true, n, alpha, overlap, eps) for n in ffts)
+    return sum(
+        sss_loss(pred, true, n, alpha, overlap, eps, matmul_dtype) for n in ffts
+    )
 
 
 def mss_loss_per_scale(
@@ -58,6 +68,10 @@ def mss_loss_per_scale(
     alpha: float = 1.0,
     overlap: float = 0.75,
     eps: float = 1e-7,
+    matmul_dtype=None,
 ) -> Dict[str, jnp.ndarray]:
     """Per-scale loss terms, for structured training metrics."""
-    return {f"mss_{n}": sss_loss(pred, true, n, alpha, overlap, eps) for n in ffts}
+    return {
+        f"mss_{n}": sss_loss(pred, true, n, alpha, overlap, eps, matmul_dtype)
+        for n in ffts
+    }

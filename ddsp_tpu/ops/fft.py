@@ -178,15 +178,28 @@ def fft_pair(xr: jnp.ndarray, xi: Optional[jnp.ndarray], n: int):
     return _fft_ct(xr, xi, n)
 
 
-def rfft_pair(x: jnp.ndarray, n: Optional[int] = None):
-    """Real-input FFT over the last axis -> (re, im), each (..., n//2+1)."""
+def rfft_pair(x: jnp.ndarray, n: Optional[int] = None, matmul_dtype=None):
+    """Real-input FFT over the last axis -> (re, im), each (..., n//2+1).
+
+    ``matmul_dtype`` (e.g. jnp.bfloat16) casts the matmul *inputs* while
+    accumulating in float32 -- 2x MXU rate for loss-grade spectra (the
+    reference trains its STFT losses under fp16 AMP, train/train.py:50).
+    """
     n = n or x.shape[-1]
     if n <= DIRECT_MAX:
         if x.shape[-1] < n:
             pad = [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])]
             x = jnp.pad(x, pad)
         cos, sin = _rdft_mats(n)
-        return _mm(x, jnp.asarray(cos)), _mm(x, jnp.asarray(sin))
+        cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+        if matmul_dtype is not None:
+            x = x.astype(matmul_dtype)
+            cos, sin = cos.astype(matmul_dtype), sin.astype(matmul_dtype)
+            mm = functools.partial(
+                jnp.matmul, preferred_element_type=jnp.float32
+            )
+            return mm(x, cos), mm(x, sin)
+        return _mm(x, cos), _mm(x, sin)
     re, im = fft_pair(x, None, n)
     return re[..., : n // 2 + 1], im[..., : n // 2 + 1]
 
@@ -210,17 +223,77 @@ def irfft_pair(re: jnp.ndarray, im: jnp.ndarray, n: Optional[int] = None):
     return yr / n
 
 
+def _reverse_spectrum(a: jnp.ndarray) -> jnp.ndarray:
+    """Index map k -> (n - k) mod n over the last axis."""
+    return jnp.concatenate([a[..., :1], a[..., 1:][..., ::-1]], axis=-1)
+
+
+def _rfft_convolve_large_packed(
+    signal: jnp.ndarray, kernel: jnp.ndarray, kernel_len: int, n: int
+) -> jnp.ndarray:
+    """Large-n convolution of an even batch of real signals, packed in pairs.
+
+    Classic real-FFT batching: rows (2i, 2i+1) ride one complex FFT as
+    re + j*im; the two spectra separate by hermitian (anti)symmetry,
+    multiply with the kernel spectrum, re-pack, and one inverse complex FFT
+    yields both outputs in its real/imaginary parts.  Halves the Cooley-
+    Tukey matmul work of the reverb-scale convolutions vs transforming each
+    real row separately.
+    """
+    length = signal.shape[-1]
+    b = signal.shape[0]
+    ev, od = signal[0::2], signal[1::2]
+    pad = [(0, 0), (0, n - length)]
+    zr, zi = _fft_ct(jnp.pad(ev, pad), jnp.pad(od, pad), n)  # (B/2, n)
+    zr_rev, zi_rev = _reverse_spectrum(zr), _reverse_spectrum(zi)
+    x1r = 0.5 * (zr + zr_rev)
+    x1i = 0.5 * (zi - zi_rev)
+    x2r = 0.5 * (zi + zi_rev)
+    x2i = 0.5 * (zr_rev - zr)
+
+    kr, ki = fft_pair(kernel[..., :kernel_len], None, n)  # (1 or B, n)
+    if kernel.shape[0] == 1:
+        kr_e = kr_o = kr
+        ki_e = ki_o = ki
+    else:
+        kr_e, kr_o = kr[0::2], kr[1::2]
+        ki_e, ki_o = ki[0::2], ki[1::2]
+    y1r = x1r * kr_e - x1i * ki_e
+    y1i = x1r * ki_e + x1i * kr_e
+    y2r = x2r * kr_o - x2i * ki_o
+    y2i = x2r * ki_o + x2i * kr_o
+
+    # repack W = Y1 + j*Y2 and invert: ifft(W) = conj(fft(conj(W))) / n
+    wr = y1r - y2i
+    wi = y1i + y2r
+    ur, ui = _fft_ct(wr, -wi, n)
+    y_ev = ur * (1.0 / n)
+    y_od = ui * (-1.0 / n)
+    out = jnp.stack([y_ev, y_od], axis=1).reshape(b, n)
+    return out[..., :length]
+
+
 def rfft_convolve_same(signal: jnp.ndarray, kernel: jnp.ndarray, kernel_len: int):
     """Causal linear convolution truncated to the signal length.
 
     ``out[t] = sum_{k<=t, k<kernel_len} kernel[k] * signal[t-k]``
     -- the exact semantics of the reference's pad/crop ``fft_convolve``
     (reference: filtered_noise.py:25-32; see ops/fir.py).  Computed by a
-    circular convolution at the next power of two >= L + kernel_len - 1 (no
-    wraparound), sized for the matmul-FFT machinery.
+    circular convolution at the next supported size >= L + kernel_len - 1
+    (no wraparound), sized for the matmul-FFT machinery.  Even batches of
+    large (Cooley-Tukey-sized) convolutions pack signal pairs into complex
+    FFTs for half the transform work.
     """
     length = signal.shape[-1]
     n = next_fft_size(length + kernel_len - 1)
+    if (
+        n > DIRECT_MAX
+        and signal.ndim == 2
+        and signal.shape[0] % 2 == 0
+        and kernel.ndim == 2
+        and kernel.shape[0] in (1, signal.shape[0])
+    ):
+        return _rfft_convolve_large_packed(signal, kernel, kernel_len, n)
     sr, si = rfft_pair(signal, n)
     kr, ki = rfft_pair(kernel[..., :kernel_len], n)
     yr = sr * kr - si * ki

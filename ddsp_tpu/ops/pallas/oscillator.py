@@ -112,11 +112,20 @@ def _kernel_cheb(
     """Chebyshev-recurrence harmonic accumulation.
 
     sin((h+1)x) = 2 cos(x) sin(hx) - sin((h-1)x) turns the 180
-    sines-per-sample into 2 transcendentals + ~5 FMAs per harmonic (the
+    sines-per-sample into 2 transcendentals + ~4 FMAs per harmonic (the
     VPU's sweet spot).  Float32 drift of the three-term recurrence is
     killed by re-seeding with an exact split-precision sine every
     ``resync`` harmonics.
+
+    Accumulator layout exploits the interpolation-weight structure
+    (ops/interp.hop_weights): samples j < hop/2 mix only frames (t-1, t)
+    and samples j >= hop/2 only (t, t+1), so each half-hop needs two
+    accumulators, not three -- 4 FMAs on half-width tiles instead of 3 on
+    full width (-1/3 of the accumulation work).  Requires hop/2 to be a
+    lane multiple; callers fall back to three accumulators otherwise.
     """
+    split = hop % (2 * LANE) == 0
+    half = hop // 2
     phase = phase_ref[0]  # (ft, hop) fractional cycles
     ang = TWO_PI * phase
     c1 = jnp.cos(ang)
@@ -135,9 +144,15 @@ def _kernel_cheb(
         a = TWO_PI * frac
         return jnp.sin(a), jnp.cos(a)
 
-    acc_l = jnp.zeros((ft, hop), jnp.float32)
-    acc_m = jnp.zeros((ft, hop), jnp.float32)
-    acc_r = jnp.zeros((ft, hop), jnp.float32)
+    if split:
+        acc_ll = jnp.zeros((ft, half), jnp.float32)  # frame t-1, lo lanes
+        acc_ml = jnp.zeros((ft, half), jnp.float32)  # frame t,   lo lanes
+        acc_mh = jnp.zeros((ft, half), jnp.float32)  # frame t,   hi lanes
+        acc_rh = jnp.zeros((ft, half), jnp.float32)  # frame t+1, hi lanes
+    else:
+        acc_l = jnp.zeros((ft, hop), jnp.float32)
+        acc_m = jnp.zeros((ft, hop), jnp.float32)
+        acc_r = jnp.zeros((ft, hop), jnp.float32)
     s_prev = jnp.zeros((ft, hop), jnp.float32)  # sin(0 * x)
     s_cur = s1
     for h in range(1, n_h + 1):
@@ -147,17 +162,35 @@ def _kernel_cheb(
         a_l = amps_l_ref[0, :, h - 1].reshape(ft, 1)
         a_m = amps_m_ref[0, :, h - 1].reshape(ft, 1)
         a_r = amps_r_ref[0, :, h - 1].reshape(ft, 1)
-        acc_l = acc_l + a_l * s_cur
-        acc_m = acc_m + a_m * s_cur
-        acc_r = acc_r + a_r * s_cur
+        if split:
+            s_lo = s_cur[:, :half]
+            s_hi = s_cur[:, half:]
+            acc_ll = acc_ll + a_l * s_lo
+            acc_ml = acc_ml + a_m * s_lo
+            acc_mh = acc_mh + a_m * s_hi
+            acc_rh = acc_rh + a_r * s_hi
+        else:
+            acc_l = acc_l + a_l * s_cur
+            acc_m = acc_m + a_m * s_cur
+            acc_r = acc_r + a_r * s_cur
         s_prev, s_cur = s_cur, two_c * s_cur - s_prev
 
     w = w_ref[:, :3]  # (hop, 3)
-    harm = (
-        acc_l * w[:, 0].reshape(1, hop)
-        + acc_m * w[:, 1].reshape(1, hop)
-        + acc_r * w[:, 2].reshape(1, hop)
-    )
+    if split:
+        w0_lo = w[:half, 0].reshape(1, half)
+        w1_lo = w[:half, 1].reshape(1, half)
+        w1_hi = w[half:, 1].reshape(1, half)
+        w2_hi = w[half:, 2].reshape(1, half)
+        harm = jnp.concatenate(
+            [acc_ll * w0_lo + acc_ml * w1_lo, acc_mh * w1_hi + acc_rh * w2_hi],
+            axis=-1,
+        )
+    else:
+        harm = (
+            acc_l * w[:, 0].reshape(1, hop)
+            + acc_m * w[:, 1].reshape(1, hop)
+            + acc_r * w[:, 2].reshape(1, hop)
+        )
     loud = (
         w[:, 0].reshape(1, hop) * loud_ref[0, :, 0].reshape(ft, 1)
         + w[:, 1].reshape(1, hop) * loud_ref[0, :, LANE].reshape(ft, 1)

@@ -51,17 +51,19 @@ def reflect_pad(x: jnp.ndarray, pad: int) -> jnp.ndarray:
 
 
 def spectrogram(
-    x: jnp.ndarray, n_fft: int, hop: int, power: float = 2.0
+    x: jnp.ndarray, n_fft: int, hop: int, power: float = 2.0, matmul_dtype=None
 ) -> jnp.ndarray:
     """torchaudio-convention spectrogram: (..., L) -> (..., n_fft//2+1, T).
 
     center=True reflect padding, periodic Hann, |rfft|^power, matching
     ``torchaudio.transforms.Spectrogram(n_fft, hop_length=hop)`` as used by
-    the reference MSS loss (loss/mss_loss.py:23).
+    the reference MSS loss (loss/mss_loss.py:23).  ``matmul_dtype`` casts
+    the DFT matmul inputs (float32 accumulation) for loss-grade spectra.
     """
     xp = reflect_pad(x, n_fft // 2)
     frames = frame_signal(xp, n_fft, hop) * hann_window(n_fft, x.dtype)
-    re, im = rfft_pair(frames)  # one (frames, n_fft)x(n_fft, bins) matmul pair
+    # one (frames, n_fft)x(n_fft, bins) matmul pair
+    re, im = rfft_pair(frames, matmul_dtype=matmul_dtype)
     if power == 2.0:
         mag = re * re + im * im
     else:

@@ -61,8 +61,18 @@ def loss_fn(
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """MSS reconstruction loss of the decoded controls vs the target audio."""
     pred = decoder_apply(params, batch, conf, noise_key)
+    loss_dtype = (
+        None
+        if conf.loss_matmul_dtype == "float32"
+        else jnp.dtype(conf.loss_matmul_dtype)
+    )
     scales = mss_loss_per_scale(
-        pred, batch["audio"], conf.mss_ffts, conf.mss_alpha, conf.mss_overlap
+        pred,
+        batch["audio"],
+        conf.mss_ffts,
+        conf.mss_alpha,
+        conf.mss_overlap,
+        matmul_dtype=loss_dtype,
     )
     loss = sum(scales.values())
     return loss, scales

@@ -83,3 +83,26 @@ def test_convolve_same_large_kernel(snr):
     got = np.asarray(rfft_convolve_same(sig, ker, 4000))
     want = np.convolve(sig[0], ker[0])[:12000]
     assert snr(want, got[0]) > 55.0
+
+
+def test_convolve_same_packed_even_batch(snr):
+    """Even batches pack signal pairs into complex FFTs on the large path;
+    output must match per-row direct convolution (shared and per-row kernels,
+    and gradients must flow)."""
+    rng = np.random.default_rng(7)
+    sig = rng.standard_normal((4, 9000)).astype(np.float32)
+    for ker_rows in (1, 4):
+        ker = 0.1 * rng.standard_normal((ker_rows, 3000)).astype(np.float32)
+        got = np.asarray(rfft_convolve_same(jnp.asarray(sig), jnp.asarray(ker), 3000))
+        want = np.stack(
+            [np.convolve(s, ker[i % ker_rows])[:9000] for i, s in enumerate(sig)]
+        )
+        for row_want, row_got in zip(want, got):
+            assert snr(row_want, row_got) > 55.0
+
+    import jax
+
+    g = jax.grad(
+        lambda s: jnp.sum(rfft_convolve_same(s, jnp.asarray(ker), 3000) ** 2)
+    )(jnp.asarray(sig))
+    assert np.isfinite(np.asarray(g)).all()
