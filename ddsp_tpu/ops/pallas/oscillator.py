@@ -42,56 +42,49 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def _fill_sine_bank(sin_ref, cos_ref, phase, ft, hop, hp, n_h, resync):
-    """Fill VMEM scratch bank(s) with sin(2 pi h phi) (and, if ``cos_ref``
-    is not None, 2 pi h cos(2 pi h phi)) for h = 1..n_h, h on the sublane
-    axis.
+def _fill_sine_banks_cat(sin_ref, cos_ref, x, hb, resync_groups):
+    """Fill (hb, L) VMEM banks with sin(2 pi h x) and 2 pi h cos(2 pi h x)
+    for h = 1..hb, eight harmonics per sublane tile.
 
-    Chebyshev three-term recurrences generate each harmonic from the
-    previous two with ~2 FMAs instead of a transcendental; the rolled loop
-    over resync groups keeps the Mosaic program small (a fully unrolled
-    variant compiles pathologically slowly) and each group re-seeds with an
-    exact split-precision evaluation so float32 drift cannot accumulate.
+    The lane axis is the flattened (frame, sample) axis of the block; the
+    sublane axis is the harmonic.  A tile holds 8 consecutive harmonics and
+    advances to the next 8 by an exact-split-precision rotation
+    ``e^{i 2 pi 8 x}`` (4 FMAs per element, full-tile stores); every
+    ``resync_groups`` groups the tile is re-seeded with an exact
+    split-precision evaluation so float32 drift cannot accumulate.
     """
-    ang = TWO_PI * phase
-    two_c = 2.0 * jnp.cos(ang)
-    hi_p = jnp.floor(phase * QUANT) * (1.0 / QUANT)
-    lo_p = phase - hi_p
-    groups = -(-n_h // resync)
+    length = x.shape[-1]
+    hi_p = jnp.floor(x * QUANT) * (1.0 / QUANT)
+    lo_p = x - hi_p
+    k_row = jax.lax.broadcasted_iota(jnp.int32, (8, length), 0).astype(
+        jnp.float32
+    )
 
-    def exact_sincos(h_f):
-        coarse = hi_p * h_f
+    def exact_tile(h0: int):
+        """(sin, cos) of 2 pi h x for h = h0..h0+7 on sublanes, exact."""
+        hv = k_row + float(h0)
+        coarse = hi_p * hv  # exact: hi on the 1/4096 grid, hv integer <= 2048
         coarse = coarse - jnp.floor(coarse)
-        frac = coarse + lo_p * h_f
+        frac = coarse + lo_p * hv
         frac = frac - jnp.floor(frac)
         a = TWO_PI * frac
         return jnp.sin(a), jnp.cos(a)
 
-    def group_body(gi, _):
-        base = gi * resync
-        base_f = base.astype(jnp.float32)
-        s_cur, c_cur = exact_sincos(base_f + 1.0)
-        s_prev, c_prev = exact_sincos(base_f)
-        for k in range(resync):
-            h_f = base_f + float(k + 1)
-            sin_ref[:, pl.ds(base + k, 1), :] = s_cur[:, None, :]
-            if cos_ref is not None:
-                cos_ref[:, pl.ds(base + k, 1), :] = ((h_f * TWO_PI) * c_cur)[
-                    :, None, :
-                ]
-            s_prev, s_cur = s_cur, two_c * s_cur - s_prev
-            c_prev, c_cur = c_cur, two_c * c_cur - c_prev
-        return _
+    s8_t, c8_t = exact_tile(8)
+    s8 = s8_t[:1]  # sin/cos of 8x: row 0 of the h=8..15 tile
+    c8 = c8_t[:1]
 
-    jax.lax.fori_loop(0, groups, group_body, 0)
-
-    def zero_body(h, _):
-        sin_ref[:, pl.ds(h, 1), :] = jnp.zeros((ft, 1, hop), jnp.float32)
-        if cos_ref is not None:
-            cos_ref[:, pl.ds(h, 1), :] = jnp.zeros((ft, 1, hop), jnp.float32)
-        return _
-
-    jax.lax.fori_loop(groups * resync, hp, zero_body, 0)
+    groups = hb // 8
+    s_t, c_t = exact_tile(1)
+    for g in range(groups):
+        if g > 0:
+            if g % resync_groups == 0:
+                s_t, c_t = exact_tile(8 * g + 1)
+            else:
+                s_t, c_t = s_t * c8 + c_t * s8, c_t * c8 - s_t * s8
+        sin_ref[8 * g : 8 * (g + 1), :] = s_t
+        h_scale = TWO_PI * (k_row + float(8 * g + 1))
+        cos_ref[8 * g : 8 * (g + 1), :] = h_scale * c_t
 
 
 def _kernel_cheb(
@@ -275,36 +268,44 @@ def _kernel_cheb_bwd(
     amps_r_ref,  # (1, FT, HP)
     loud_ref,  # (1, FT, 3*LANE)
     w_ref,  # (hop, 4)
+    w_big_ref,  # (8, FT*hop): rows 0..2 tile w[:, k] across frames
     dphase_ref,  # out (1, FT, hop)
     da_l_ref,  # out (1, FT, HP)
     da_m_ref,  # out (1, FT, HP)
     da_r_ref,  # out (1, FT, HP)
     dloud_ref,  # out (1, FT, 3) per-window loudness grads
-    sin_ref,  # VMEM scratch (FT, HP, hop)
-    cos_ref,  # VMEM scratch (FT, HP, hop)
+    sin_ref,  # VMEM scratch (HB, FT*hop)
+    cos_ref,  # VMEM scratch (HB, FT*hop)
     *,
     ft: int,
     hop: int,
     hp: int,
+    hb: int,
     n_h: int,
     resync: int,
 ):
-    """One-pass backward: dual sin/cos Chebyshev recurrences fill VMEM
-    scratch with harmonics on the SUBLANE axis (cheap per-h stores), then
-    every gradient is a batched MXU contraction -- nothing harmonic-resolved
-    touches HBM.
+    """One-pass backward built around three LARGE MXU contractions.
 
     out(j) = loud(j) * sum_h a_mix_h(j) sin(2 pi h phi(j)),
     a_mix_h(j) = sum_k w_k(j) a_k[h]:
       d a_k[h]   = sum_j g loud w_k sin(2 pi h phi)
       d phi(j)   = g loud 2 pi sum_h h a_mix_h cos(2 pi h phi)
       d loud_k   = sum_j g w_k harm(j)
-    """
-    phase = phase_ref[0]
-    # 1. shared sine/cosine bank generation (h on the sublane axis)
-    _fill_sine_bank(sin_ref, cos_ref, phase, ft, hop, hp, n_h, resync)
 
-    # 2. contractions on the MXU
+    Layout: the sine/cosine banks are (harmonic, frame*hop) -- harmonics on
+    sublanes (filled 8 at a time with full-tile stores), all the block's
+    samples concatenated on lanes.  The three frame-window operands stack on
+    the M axis (3*ft rows), the per-frame structure rides as block-diagonal
+    zero masks, and each gradient becomes ONE (3*ft, L)x(L, hb)-class
+    matmul.  An earlier variant looped ft frames x 3 windows of M=3
+    matmuls; those 24 latency-bound MXU calls per block cost ~4x more than
+    the whole bank fill.
+    """
+    length = ft * hop
+    phase = phase_ref[0]  # (ft, hop)
+    x = phase.reshape(1, length)
+    _fill_sine_banks_cat(sin_ref, cos_ref, x, hb, max(1, resync // 8))
+
     w = w_ref[:, :3]
     wl = w[:, 0].reshape(1, hop)
     wm = w[:, 1].reshape(1, hop)
@@ -317,59 +318,78 @@ def _kernel_cheb_bwd(
     g = g_ref[0]
     ql = g * loud_up  # (ft, hop)
 
-    # Mosaic dot_general handles plain 2-D matmuls; loop the small static
-    # frame dim and batch the three windows into one operand instead.
-    dloud_rows = []
-    for f in range(ft):
-        sines_f = sin_ref[f, :, :]  # (hp, hop)
-        coses_f = cos_ref[f, :, :]
-        qw3 = jnp.concatenate(
-            [
-                (ql[f] * wl[0]).reshape(1, hop),
-                (ql[f] * wm[0]).reshape(1, hop),
-                (ql[f] * wr[0]).reshape(1, hop),
-            ],
-            axis=0,
-        )  # (3, hop)
-        da3 = jax.lax.dot_general(
-            qw3, sines_f, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (3, hp)
-        da_l_ref[0, f, :] = da3[0]
-        da_m_ref[0, f, :] = da3[1]
-        da_r_ref[0, f, :] = da3[2]
+    # Block-diagonal embed: (ft, hop) frame rows -> (ft, L) with row f's
+    # values in lane segment f, zeros elsewhere.
+    seg = jax.lax.broadcasted_iota(jnp.int32, (ft, length), 1) // hop
+    fidx = jax.lax.broadcasted_iota(jnp.int32, (ft, length), 0)
+    diag = seg == fidx
 
-        a3 = jnp.concatenate(
-            [
-                amps_l_ref[0, f, :].reshape(1, hp),
-                amps_m_ref[0, f, :].reshape(1, hp),
-                amps_r_ref[0, f, :].reshape(1, hp),
-            ],
-            axis=0,
-        )  # (3, hp)
-        harm3 = jax.lax.dot_general(
-            a3, sines_f, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (3, hop): per-window harmonic sums
-        dphi3 = jax.lax.dot_general(
-            a3, coses_f, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+    def embed(m):
+        flat = m.reshape(1, length)
+        return jnp.where(diag, jnp.broadcast_to(flat, (ft, length)), 0.0)
+
+    qw = jnp.concatenate(
+        [embed(ql * wl), embed(ql * wm), embed(ql * wr)], axis=0
+    )  # (3ft, L)
+    sin_bank = sin_ref[:, :]
+    cos_bank = cos_ref[:, :]
+    da3 = jax.lax.dot_general(
+        qw, sin_bank, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (3ft, hb)
+    da_l_ref[0, :, :hb] = da3[:ft]
+    da_m_ref[0, :, :hb] = da3[ft : 2 * ft]
+    da_r_ref[0, :, :hb] = da3[2 * ft :]
+    if hb < hp:
+        zero_tail = jnp.zeros((ft, hp - hb), jnp.float32)
+        da_l_ref[0, :, hb:] = zero_tail
+        da_m_ref[0, :, hb:] = zero_tail
+        da_r_ref[0, :, hb:] = zero_tail
+
+    a_cat = jnp.concatenate(
+        [
+            amps_l_ref[0, :, :hb],
+            amps_m_ref[0, :, :hb],
+            amps_r_ref[0, :, :hb],
+        ],
+        axis=0,
+    )  # (3ft, hb)
+    h3 = jax.lax.dot_general(
+        a_cat, sin_bank, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (3ft, L): row k*ft+f holds sum_h a_k[f,h] sin(h x(f', j)) -- only
+    #   the f'==f lane segment is meaningful; the mask below kills the rest.
+    p3 = jax.lax.dot_general(
+        a_cat, cos_bank, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    def mix_and_collapse(m3):
+        """w-mix the three window rows, then collapse to (ft, hop) by
+        summing lane segments (only the diagonal segment is nonzero)."""
+        u = (
+            w_big_ref[0:1, :] * m3[:ft]
+            + w_big_ref[1:2, :] * m3[ft : 2 * ft]
+            + w_big_ref[2:3, :] * m3[2 * ft :]
         )
-        harm = wl[0] * harm3[0] + wm[0] * harm3[1] + wr[0] * harm3[2]
-        dphi = wl[0] * dphi3[0] + wm[0] * dphi3[1] + wr[0] * dphi3[2]
-        dphase_ref[0, f, :] = ql[f] * dphi
-        gh = g[f] * harm  # (hop,)
-        dloud_rows.append(
-            jnp.concatenate(
-                [
-                    jnp.sum(gh * wl[0]).reshape(1, 1),
-                    jnp.sum(gh * wm[0]).reshape(1, 1),
-                    jnp.sum(gh * wr[0]).reshape(1, 1),
-                ],
-                axis=1,
-            )
-        )
-    dloud_ref[0] = jnp.concatenate(dloud_rows, axis=0)  # (ft, 3)
+        u = jnp.where(diag, u, 0.0)
+        out = u[:, :hop]
+        for f in range(1, ft):
+            out = out + u[:, f * hop : (f + 1) * hop]
+        return out
+
+    harm = mix_and_collapse(h3)  # (ft, hop)
+    dphi = mix_and_collapse(p3)
+    dphase_ref[0] = ql * dphi
+    gh = g * harm
+    dloud_ref[0] = jnp.concatenate(
+        [
+            jnp.sum(gh * wl, axis=1, keepdims=True),
+            jnp.sum(gh * wm, axis=1, keepdims=True),
+            jnp.sum(gh * wr, axis=1, keepdims=True),
+        ],
+        axis=1,
+    )  # (ft, 3)
 
 
 def _pallas_backward(
@@ -397,14 +417,20 @@ def _pallas_backward(
     amps_l, amps_m, amps_r = amps_p[:, :-2], amps_p[:, 1:-1], amps_p[:, 2:]
     loud_trip = jnp.stack([loud_pad[:, :-2], loud_pad[:, 1:-1], loud_pad[:, 2:]], -1)
     loud_p = jnp.repeat(loud_trip, LANE, axis=-1)
-    w = jnp.pad(jnp.asarray(hop_weights(hop)), ((0, 0), (0, 1)))
+    w_np = np.asarray(hop_weights(hop))
+    w = jnp.pad(jnp.asarray(w_np), ((0, 0), (0, 1)))
+    # (8, ft*hop) constant: rows 0..2 tile w[:, k] across the block's frames
+    w_big = jnp.asarray(
+        np.pad(np.tile(w_np.T, (1, ft)), ((0, 5), (0, 0))).astype(np.float32)
+    )
 
+    hb = _round_up(h, 8)  # bank rows: harmonics, 8 per sublane tile
     t = t_pad
     grid = (b, t // ft)
     spec_hop = pl.BlockSpec((1, ft, hop), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
     spec_amp = pl.BlockSpec((1, ft, hp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
     kernel = functools.partial(
-        _kernel_cheb_bwd, ft=ft, hop=hop, hp=hp, n_h=h, resync=resync
+        _kernel_cheb_bwd, ft=ft, hop=hop, hp=hp, hb=hb, n_h=h, resync=resync
     )
     dphase, da_l, da_m, da_r, dloud = pl.pallas_call(
         kernel,
@@ -424,6 +450,7 @@ def _pallas_backward(
             spec_amp,
             pl.BlockSpec((1, ft, 3 * LANE), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((hop, 4), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, ft * hop), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             spec_hop,
@@ -433,10 +460,10 @@ def _pallas_backward(
             pl.BlockSpec((1, ft, 3), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((ft, hp, hop), jnp.float32),  # sine bank
-            pltpu.VMEM((ft, hp, hop), jnp.float32),  # 2*pi*h*cos bank
+            pltpu.VMEM((hb, ft * hop), jnp.float32),  # sine bank
+            pltpu.VMEM((hb, ft * hop), jnp.float32),  # 2*pi*h*cos bank
         ],
-    )(g3, phase1, amps_l, amps_m, amps_r, loud_p, w)
+    )(g3, phase1, amps_l, amps_m, amps_r, loud_p, w, w_big)
 
     dphase = dphase[:, :t_out]
     da_l = da_l[:, :t_out, :h]
