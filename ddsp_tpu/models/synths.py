@@ -43,8 +43,8 @@ def oscillator_apply(
     """Offline harmonic render from a controls dict {f0, c, a}.
 
     Returns (audio (B, T*hop), final fundamental phase (B,)).  Dispatches
-    between the XLA einsum path and the fused Pallas Chebyshev kernel
-    (ops/pallas/oscillator.py, ~3x faster per chip) per ``conf.osc_impl``.
+    between the XLA einsum path and the fused Pallas sine-bank kernel
+    (ops/pallas/oscillator.py, ~4x faster per chip) per ``conf.osc_impl``.
     """
     if use_pallas_oscillator(conf) and frame_chunk is None:
         from ddsp_tpu.ops.pallas.oscillator import oscillator_bank_pallas

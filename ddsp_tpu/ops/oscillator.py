@@ -158,8 +158,11 @@ def _render_from_phase(
     amp_win = jnp.stack(
         [amps_pad[:, :-2], amps_pad[:, 1:-1], amps_pad[:, 2:]], axis=2
     )
-    # S[b,t,j,k] = sum_h sines[b,t,j,h] * amp_win[b,t,k,h]
-    s = jnp.einsum("btjh,btkh->btjk", sines, amp_win)
+    # S[b,t,j,k] = sum_h sines[b,t,j,h] * amp_win[b,t,k,h].  HIGHEST keeps
+    # true-f32 MXU passes: the default bf16 passes cost ~50 dB of render SNR.
+    s = jnp.einsum(
+        "btjh,btkh->btjk", sines, amp_win, precision=jax.lax.Precision.HIGHEST
+    )
     w = jnp.asarray(hop_weights(hop))  # (hop, 3)
     harm = jnp.einsum("btjk,jk->btj", s, w)
     loud_win = jnp.stack(

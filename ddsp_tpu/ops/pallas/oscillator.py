@@ -10,11 +10,13 @@ builds the sine block, contracts over harmonics in-register, and writes only
 the (frames, hop) audio block -- HBM traffic drops from O(T*hop*H) to
 O(T*hop + T*H).
 
-Both directions are hand-written kernels: the forward accumulates the
-harmonic sum with a Chebyshev sine recurrence; the backward regenerates
-sin AND cos with dual recurrences in one pass and emits d(phase),
-d(amp windows), d(loudness windows) directly -- no harmonic-resolved
-tensor ever touches HBM in either direction.
+Both directions are hand-written kernels sharing one bank-fill primitive:
+a (harmonic, sample) sine bank is generated 8 harmonics per sublane tile by
+one exact split-precision seed plus a ``e^{i 2 pi 8 x}`` rotation, and the
+harmonic sums become large MXU contractions (forward: one; backward: three,
+emitting d(phase), d(amp windows), d(loudness windows) in one pass).  No
+harmonic-resolved tensor ever touches HBM in either direction.  A VPU-only
+Chebyshev-recurrence forward (impl='cheb') is kept for comparison.
 
 Split-precision phase trick shared with ops/oscillator.harmonic_sines:
 phi = hi + lo with hi on a 1/4096 grid -> h*hi exact in f32.
@@ -42,16 +44,17 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def _fill_sine_banks_cat(sin_ref, cos_ref, x, hb, resync_groups):
-    """Fill (hb, L) VMEM banks with sin(2 pi h x) and 2 pi h cos(2 pi h x)
-    for h = 1..hb, eight harmonics per sublane tile.
+def _fill_sine_banks_cat(sin_ref, cos_ref, x, hb):
+    """Fill (hb, L) VMEM banks with sin(2 pi h x) and cos(2 pi h x) for
+    h = 1..hb, eight harmonics per sublane tile.
 
     The lane axis is the flattened (frame, sample) axis of the block; the
     sublane axis is the harmonic.  A tile holds 8 consecutive harmonics and
-    advances to the next 8 by an exact-split-precision rotation
-    ``e^{i 2 pi 8 x}`` (4 FMAs per element, full-tile stores); every
-    ``resync_groups`` groups the tile is re-seeded with an exact
-    split-precision evaluation so float32 drift cannot accumulate.
+    advances to the next 8 by a rotation ``e^{i 2 pi 8 x}`` whose rotor is
+    evaluated once with the exact split-precision trick (6 VPU ops per
+    element-pair, full-tile stores).  No periodic re-seed: a unit-magnitude
+    rotation drifts ~1 ulp per application, so hb/8 ~ 23 groups accumulate
+    ~3e-6 -- three orders below the f32 noise of the gradient contractions.
     """
     length = x.shape[-1]
     hi_p = jnp.floor(x * QUANT) * (1.0 / QUANT)
@@ -60,9 +63,8 @@ def _fill_sine_banks_cat(sin_ref, cos_ref, x, hb, resync_groups):
         jnp.float32
     )
 
-    def exact_tile(h0: int):
-        """(sin, cos) of 2 pi h x for h = h0..h0+7 on sublanes, exact."""
-        hv = k_row + float(h0)
+    def exact(hv):
+        """(sin, cos) of 2 pi h x, exact via the split-precision product."""
         coarse = hi_p * hv  # exact: hi on the 1/4096 grid, hv integer <= 2048
         coarse = coarse - jnp.floor(coarse)
         frac = coarse + lo_p * hv
@@ -70,21 +72,17 @@ def _fill_sine_banks_cat(sin_ref, cos_ref, x, hb, resync_groups):
         a = TWO_PI * frac
         return jnp.sin(a), jnp.cos(a)
 
-    s8_t, c8_t = exact_tile(8)
-    s8 = s8_t[:1]  # sin/cos of 8x: row 0 of the h=8..15 tile
-    c8 = c8_t[:1]
+    s8, c8 = exact(jnp.full((1, length), 8.0))  # rotor e^{i 2 pi 8 x}
 
+    bank_dtype = sin_ref.dtype
     groups = hb // 8
-    s_t, c_t = exact_tile(1)
+    s_t, c_t = exact(k_row + 1.0)
     for g in range(groups):
         if g > 0:
-            if g % resync_groups == 0:
-                s_t, c_t = exact_tile(8 * g + 1)
-            else:
-                s_t, c_t = s_t * c8 + c_t * s8, c_t * c8 - s_t * s8
-        sin_ref[8 * g : 8 * (g + 1), :] = s_t
-        h_scale = TWO_PI * (k_row + float(8 * g + 1))
-        cos_ref[8 * g : 8 * (g + 1), :] = h_scale * c_t
+            s_t, c_t = s_t * c8 + c_t * s8, c_t * c8 - s_t * s8
+        sin_ref[8 * g : 8 * (g + 1), :] = s_t.astype(bank_dtype)
+        if cos_ref is not None:
+            cos_ref[8 * g : 8 * (g + 1), :] = c_t.astype(bank_dtype)
 
 
 def _kernel_cheb(
@@ -192,6 +190,83 @@ def _kernel_cheb(
     out_ref[0] = harm * loud
 
 
+def _block_diag_mask(ft: int, hop: int):
+    """(ft, ft*hop) bool: row f true on lane segment f."""
+    length = ft * hop
+    seg = jax.lax.broadcasted_iota(jnp.int32, (ft, length), 1) // hop
+    fidx = jax.lax.broadcasted_iota(jnp.int32, (ft, length), 0)
+    return seg == fidx
+
+
+def _mix_collapse(w_big_ref, diag, m3, ft, hop):
+    """w-mix the three window rows of a (3ft, ft*hop) product, then
+    collapse to (ft, hop) by summing lane segments (only the diagonal
+    segment of each row is nonzero after masking)."""
+    u = (
+        w_big_ref[0:1, :] * m3[:ft]
+        + w_big_ref[1:2, :] * m3[ft : 2 * ft]
+        + w_big_ref[2:3, :] * m3[2 * ft :]
+    )
+    u = jnp.where(diag, u, 0.0)
+    out = u[:, :hop]
+    for f in range(1, ft):
+        out = out + u[:, f * hop : (f + 1) * hop]
+    return out
+
+
+def _kernel_banked(
+    phase_ref,  # (1, FT, hop)
+    amps_l_ref,  # (1, FT, HP)
+    amps_m_ref,  # (1, FT, HP)
+    amps_r_ref,  # (1, FT, HP)
+    loud_ref,  # (1, FT, 3*LANE)
+    w_ref,  # (hop, 4)
+    w_big_ref,  # (8, FT*hop)
+    out_ref,  # (1, FT, hop)
+    sin_ref,  # VMEM scratch (HB, FT*hop)
+    *,
+    ft: int,
+    hop: int,
+    hp: int,
+    hb: int,
+    n_h: int,
+):
+    """Bank-and-matmul forward: fill the (harmonic, sample) sine bank with
+    the exact-seeded rotation, then the whole harmonic sum is ONE MXU
+    contraction (3ft, hb)x(hb, L) with the three interpolation windows
+    stacked on the M axis -- the same layout as the backward kernel, so the
+    two directions share the fill code path."""
+    length = ft * hop
+    phase = phase_ref[0]
+    x = phase.reshape(1, length)
+    _fill_sine_banks_cat(sin_ref, None, x, hb)
+
+    a_cat = jnp.concatenate(
+        [
+            amps_l_ref[0, :, :hb],
+            amps_m_ref[0, :, :hb],
+            amps_r_ref[0, :, :hb],
+        ],
+        axis=0,
+    )  # (3ft, hb)
+    h3 = jax.lax.dot_general(
+        a_cat, sin_ref[:, :], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (3ft, L): HIGHEST keeps true-f32 MXU passes -- the render is the
+    #   product; bf16-pass noise (~1e-3) is fine for grads, not for audio.
+    diag = _block_diag_mask(ft, hop)
+    harm = _mix_collapse(w_big_ref, diag, h3, ft, hop)
+
+    w = w_ref[:, :3]
+    loud = (
+        w[:, 0].reshape(1, hop) * loud_ref[0, :, 0].reshape(ft, 1)
+        + w[:, 1].reshape(1, hop) * loud_ref[0, :, LANE].reshape(ft, 1)
+        + w[:, 2].reshape(1, hop) * loud_ref[0, :, 2 * LANE].reshape(ft, 1)
+    )
+    out_ref[0] = harm * loud
+
+
 def _xla_reference(phase1, amps_pad, loud_pad):
     """Pure-XLA equivalent (kept for interpret-mode cross-checks)."""
     from ddsp_tpu.ops.oscillator import _render_from_phase
@@ -205,6 +280,7 @@ def _pallas_forward(
     loud_pad: jnp.ndarray,  # (B, T+2)
     frames_per_block: int,
     resync: int = 32,
+    impl: str = "banked",
 ) -> jnp.ndarray:
     b, t, hop = phase1.shape
     h = amps_pad.shape[-1]
@@ -231,23 +307,9 @@ def _pallas_forward(
     amp_spec = pl.BlockSpec(
         (1, ft, hp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
     )
-    kernel = functools.partial(
-        _kernel_cheb, ft=ft, hop=hop, hp=hp, n_h=h, resync=resync
-    )
-    out = pl.pallas_call(
-        kernel,
+    common = dict(
         out_shape=jax.ShapeDtypeStruct((b, t, hop), jnp.float32),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, ft, hop), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            amp_spec,
-            amp_spec,
-            amp_spec,
-            pl.BlockSpec(
-                (1, ft, 3 * LANE), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((hop, 4), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-        ],
         out_specs=pl.BlockSpec(
             (1, ft, hop), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
         ),
@@ -256,7 +318,41 @@ def _pallas_forward(
             bytes_accessed=4 * (b * t * hop * 2 + 3 * b * t * hp),
             transcendentals=b * t * hop * hp,
         ),
-    )(phase1, amps_l, amps_m, amps_r, loud_p, w)
+    )
+    base_specs = [
+        pl.BlockSpec((1, ft, hop), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        amp_spec,
+        amp_spec,
+        amp_spec,
+        pl.BlockSpec(
+            (1, ft, 3 * LANE), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec((hop, 4), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    if impl == "banked":
+        hb = _round_up(h, 8)
+        w_big = jnp.asarray(
+            np.pad(
+                np.tile(np.asarray(hop_weights(hop)).T, (1, ft)), ((0, 5), (0, 0))
+            ).astype(np.float32)
+        )
+        kernel = functools.partial(
+            _kernel_banked, ft=ft, hop=hop, hp=hp, hb=hb, n_h=h
+        )
+        out = pl.pallas_call(
+            kernel,
+            in_specs=base_specs
+            + [pl.BlockSpec((8, ft * hop), lambda i, j: (0, 0), memory_space=pltpu.VMEM)],
+            scratch_shapes=[pltpu.VMEM((hb, ft * hop), jnp.float32)],
+            **common,
+        )(phase1, amps_l, amps_m, amps_r, loud_p, w, w_big)
+    else:
+        kernel = functools.partial(
+            _kernel_cheb, ft=ft, hop=hop, hp=hp, n_h=h, resync=resync
+        )
+        out = pl.pallas_call(kernel, in_specs=base_specs, **common)(
+            phase1, amps_l, amps_m, amps_r, loud_p, w
+        )
     return out[:, :t_out].reshape(b, t_out * hop)
 
 
@@ -282,7 +378,6 @@ def _kernel_cheb_bwd(
     hp: int,
     hb: int,
     n_h: int,
-    resync: int,
 ):
     """One-pass backward built around three LARGE MXU contractions.
 
@@ -304,7 +399,7 @@ def _kernel_cheb_bwd(
     length = ft * hop
     phase = phase_ref[0]  # (ft, hop)
     x = phase.reshape(1, length)
-    _fill_sine_banks_cat(sin_ref, cos_ref, x, hb, max(1, resync // 8))
+    _fill_sine_banks_cat(sin_ref, cos_ref, x, hb)
 
     w = w_ref[:, :3]
     wl = w[:, 0].reshape(1, hop)
@@ -320,17 +415,16 @@ def _kernel_cheb_bwd(
 
     # Block-diagonal embed: (ft, hop) frame rows -> (ft, L) with row f's
     # values in lane segment f, zeros elsewhere.
-    seg = jax.lax.broadcasted_iota(jnp.int32, (ft, length), 1) // hop
-    fidx = jax.lax.broadcasted_iota(jnp.int32, (ft, length), 0)
-    diag = seg == fidx
+    diag = _block_diag_mask(ft, hop)
 
     def embed(m):
         flat = m.reshape(1, length)
         return jnp.where(diag, jnp.broadcast_to(flat, (ft, length)), 0.0)
 
+    bank_dtype = sin_ref.dtype
     qw = jnp.concatenate(
         [embed(ql * wl), embed(ql * wm), embed(ql * wr)], axis=0
-    )  # (3ft, L)
+    ).astype(bank_dtype)  # (3ft, L)
     sin_bank = sin_ref[:, :]
     cos_bank = cos_ref[:, :]
     da3 = jax.lax.dot_general(
@@ -353,33 +447,26 @@ def _kernel_cheb_bwd(
             amps_r_ref[0, :, :hb],
         ],
         axis=0,
-    )  # (3ft, hb)
+    ).astype(bank_dtype)  # (3ft, hb)
     h3 = jax.lax.dot_general(
         a_cat, sin_bank, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (3ft, L): row k*ft+f holds sum_h a_k[f,h] sin(h x(f', j)) -- only
     #   the f'==f lane segment is meaningful; the mask below kills the rest.
+    # cos bank stores raw cos(2 pi h x); the d(phase) chain factor 2 pi h
+    # rides on the small (3ft, hb) operand instead of the big bank.
+    h_row = TWO_PI * (
+        jax.lax.broadcasted_iota(jnp.int32, (1, hb), 1).astype(jnp.float32)
+        + 1.0
+    )
+    a_scaled = (a_cat.astype(jnp.float32) * h_row).astype(a_cat.dtype)
     p3 = jax.lax.dot_general(
-        a_cat, cos_bank, (((1,), (0,)), ((), ())),
+        a_scaled, cos_bank, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
-    def mix_and_collapse(m3):
-        """w-mix the three window rows, then collapse to (ft, hop) by
-        summing lane segments (only the diagonal segment is nonzero)."""
-        u = (
-            w_big_ref[0:1, :] * m3[:ft]
-            + w_big_ref[1:2, :] * m3[ft : 2 * ft]
-            + w_big_ref[2:3, :] * m3[2 * ft :]
-        )
-        u = jnp.where(diag, u, 0.0)
-        out = u[:, :hop]
-        for f in range(1, ft):
-            out = out + u[:, f * hop : (f + 1) * hop]
-        return out
-
-    harm = mix_and_collapse(h3)  # (ft, hop)
-    dphi = mix_and_collapse(p3)
+    harm = _mix_collapse(w_big_ref, diag, h3, ft, hop)  # (ft, hop)
+    dphi = _mix_collapse(w_big_ref, diag, p3, ft, hop)
     dphase_ref[0] = ql * dphi
     gh = g * harm
     dloud_ref[0] = jnp.concatenate(
@@ -398,7 +485,7 @@ def _pallas_backward(
     loud_pad: jnp.ndarray,
     g: jnp.ndarray,  # (B, T*hop)
     frames_per_block: int,
-    resync: int = 32,
+    bank_dtype: str = "float32",
 ):
     b, t, hop = phase1.shape
     h = amps_pad.shape[-1]
@@ -430,7 +517,7 @@ def _pallas_backward(
     spec_hop = pl.BlockSpec((1, ft, hop), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
     spec_amp = pl.BlockSpec((1, ft, hp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
     kernel = functools.partial(
-        _kernel_cheb_bwd, ft=ft, hop=hop, hp=hp, hb=hb, n_h=h, resync=resync
+        _kernel_cheb_bwd, ft=ft, hop=hop, hp=hp, hb=hb, n_h=h
     )
     dphase, da_l, da_m, da_r, dloud = pl.pallas_call(
         kernel,
@@ -460,8 +547,8 @@ def _pallas_backward(
             pl.BlockSpec((1, ft, 3), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((hb, ft * hop), jnp.float32),  # sine bank
-            pltpu.VMEM((hb, ft * hop), jnp.float32),  # 2*pi*h*cos bank
+            pltpu.VMEM((hb, ft * hop), jnp.dtype(bank_dtype)),  # sine bank
+            pltpu.VMEM((hb, ft * hop), jnp.dtype(bank_dtype)),  # cos bank
         ],
     )(g3, phase1, amps_l, amps_m, amps_r, loud_p, w, w_big)
 

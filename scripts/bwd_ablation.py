@@ -26,12 +26,12 @@ def _kernel_fill_only(
     g_ref, phase_ref, amps_l_ref, amps_m_ref, amps_r_ref, loud_ref, w_ref,
     w_big_ref, dphase_ref, da_l_ref, da_m_ref, da_r_ref, dloud_ref,
     sin_ref, cos_ref,
-    *, ft, hop, hp, hb, n_h, resync,
+    *, ft, hop, hp, hb, n_h,
 ):
     length = ft * hop
     phase = phase_ref[0]
     x = phase.reshape(1, length)
-    po._fill_sine_banks_cat(sin_ref, cos_ref, x, hb, max(1, resync // 8))
+    po._fill_sine_banks_cat(sin_ref, cos_ref, x, hb)
     # touch the banks cheaply so the fill cannot be elided
     dphase_ref[0] = (sin_ref[0:1, :] + cos_ref[hb - 1 : hb, :]).reshape(ft, hop)
     da_l_ref[0] = amps_l_ref[0]
@@ -41,7 +41,7 @@ def _kernel_fill_only(
 
 
 def run_variant(kernel_fn, phase1, amps_pad, loud_pad, g,
-                frames_per_block=4, resync=32):
+                frames_per_block=4):
     b, t, hop = phase1.shape
     h = amps_pad.shape[-1]
     hp = po._round_up(h, po.LANE)
@@ -68,7 +68,7 @@ def run_variant(kernel_fn, phase1, amps_pad, loud_pad, g,
     spec_hop = pl.BlockSpec((1, ft, hop), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
     spec_amp = pl.BlockSpec((1, ft, hp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
     kernel = functools.partial(
-        kernel_fn, ft=ft, hop=hop, hp=hp, hb=hb, n_h=h, resync=resync
+        kernel_fn, ft=ft, hop=hop, hp=hp, hb=hb, n_h=h
     )
     outs = pl.pallas_call(
         kernel,
