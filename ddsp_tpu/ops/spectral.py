@@ -20,7 +20,7 @@ import functools
 import jax.numpy as jnp
 import numpy as np
 
-from ddsp_tpu.ops.fft import rfft_pair
+from ddsp_tpu.ops.fft import DIRECT_MAX, rfft_pair
 from ddsp_tpu.ops.fir import hann_window
 
 
@@ -50,6 +50,48 @@ def reflect_pad(x: jnp.ndarray, pad: int) -> jnp.ndarray:
     return jnp.pad(x, cfg, mode="reflect")
 
 
+@functools.lru_cache(maxsize=None)
+def _hann_rdft_blocks(n_fft: int, hop: int):
+    """Hann-windowed rDFT matrix split into n_fft//hop row blocks of
+    (hop, n_fft//2+1) -- the STFT of a hop-divisible signal is then
+    ``sum_j blocks_view_j @ (cos_j, sin_j)`` over shifted reshape views,
+    with no framed (T, n_fft) tensor ever materialized."""
+    t = np.arange(n_fft)[:, None]
+    k = np.arange(n_fft // 2 + 1)[None, :]
+    ang = -2.0 * np.pi * t * k / n_fft
+    win = 0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(n_fft) / n_fft))
+    cos = (win[:, None] * np.cos(ang)).astype(np.float32)
+    sin = (win[:, None] * np.sin(ang)).astype(np.float32)
+    kb = n_fft // hop
+    return (
+        tuple(cos[j * hop : (j + 1) * hop] for j in range(kb)),
+        tuple(sin[j * hop : (j + 1) * hop] for j in range(kb)),
+    )
+
+
+def _spectrogram_hopblocked(
+    xp: jnp.ndarray, n_fft: int, hop: int, matmul_dtype=None
+):
+    """(..., Lp) padded signal -> (re, im) each (..., T, bins), computed as
+    a sum of per-hop-block matmuls over shifted reshape views (no frame
+    concat; its backward is pads+adds plus transposed matmuls)."""
+    lp = xp.shape[-1]
+    n_frames = 1 + (lp - n_fft) // hop
+    blocks = xp.reshape(*xp.shape[:-1], lp // hop, hop)
+    cos_b, sin_b = _hann_rdft_blocks(n_fft, hop)
+    acc = functools.partial(jnp.matmul, preferred_element_type=jnp.float32)
+    re = im = 0.0
+    for j in range(n_fft // hop):
+        part = blocks[..., j : j + n_frames, :]
+        cj, sj = jnp.asarray(cos_b[j]), jnp.asarray(sin_b[j])
+        if matmul_dtype is not None:
+            part = part.astype(matmul_dtype)
+            cj, sj = cj.astype(matmul_dtype), sj.astype(matmul_dtype)
+        re = re + acc(part, cj)
+        im = im + acc(part, sj)
+    return re, im
+
+
 def spectrogram(
     x: jnp.ndarray, n_fft: int, hop: int, power: float = 2.0, matmul_dtype=None
 ) -> jnp.ndarray:
@@ -61,9 +103,12 @@ def spectrogram(
     the DFT matmul inputs (float32 accumulation) for loss-grade spectra.
     """
     xp = reflect_pad(x, n_fft // 2)
-    frames = frame_signal(xp, n_fft, hop) * hann_window(n_fft, x.dtype)
-    # one (frames, n_fft)x(n_fft, bins) matmul pair
-    re, im = rfft_pair(frames, matmul_dtype=matmul_dtype)
+    if n_fft % hop == 0 and xp.shape[-1] % hop == 0 and n_fft <= DIRECT_MAX:
+        re, im = _spectrogram_hopblocked(xp, n_fft, hop, matmul_dtype)
+    else:
+        frames = frame_signal(xp, n_fft, hop) * hann_window(n_fft, x.dtype)
+        # one (frames, n_fft)x(n_fft, bins) matmul pair
+        re, im = rfft_pair(frames, matmul_dtype=matmul_dtype)
     if power == 2.0:
         mag = re * re + im * im
     else:
