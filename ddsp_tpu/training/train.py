@@ -23,7 +23,14 @@ from ddsp_tpu.training.trainer import (
 
 def main(argv=None) -> None:
     argv = sys.argv[1:] if argv is None else argv
-    extra = {"num_steps": 10000, "crepe_checkpoint": "", "resume": 1}
+    extra = {
+        "num_steps": 10000,
+        "crepe_checkpoint": "",
+        "resume": 1,
+        # optimizer steps per host->device call (device-resident scan
+        # trainer); 0/1 = classic one-call-per-step loop
+        "device_steps": 50,
+    }
     flags = []
     for a in argv:
         key = a[2:].split("=", 1)[0]
@@ -58,6 +65,7 @@ def main(argv=None) -> None:
         state=state,
         log_path=f"{conf.checkpoint_dir}/metrics.jsonl",
         dump_audio_dir=f"{conf.checkpoint_dir}/audio",
+        device_steps=extra["device_steps"],
     )
     print("final:", metrics)
 

@@ -14,6 +14,7 @@ metrics stream to JSONL with per-scale loss terms and grad norms.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -100,6 +101,42 @@ def make_train_step(conf: Config):
     return train_step
 
 
+def make_train_scan(conf: Config, steps_per_call: int):
+    """Device-resident training: ``steps_per_call`` optimizer steps inside one
+    jitted ``lax.scan``, with each minibatch gathered on-device from the full
+    feature arrays (batch = a fresh PRNG permutation's first ``batch_size``
+    rows). This is the TPU-native replacement for the reference's
+    host-side DataLoader loop (reference: train/train.py:48): the host
+    dispatches one call per ``steps_per_call`` steps, so wall-clock
+    throughput tracks device time even over a high-latency link.
+
+    Returns ``many(state, data, key) -> (state, stacked_metrics)`` where
+    ``data`` is a dict of device-resident (N, ...) arrays and
+    ``stacked_metrics`` has a leading ``steps_per_call`` axis.
+    """
+    step = make_train_step(conf)
+
+    def many(state: TrainState, data: Dict[str, jnp.ndarray], key: jax.Array):
+        n = next(iter(data.values())).shape[0]
+
+        def body(carry, i):
+            idx = jax.random.permutation(jax.random.fold_in(key, i), n)
+            batch = {
+                k: jnp.take(v, idx[: conf.batch_size], axis=0)
+                for k, v in data.items()
+            }
+            return step(carry, batch)
+
+        return jax.lax.scan(body, state, jnp.arange(steps_per_call))
+
+    return many
+
+
+# keys the train step actually consumes; the rest of the feature dict
+# (probabilities, harmonicity) stays on the host.
+TRAIN_KEYS = ("f0", "normalized_cents", "loudness", "audio")
+
+
 # --- checkpointing -----------------------------------------------------------
 def save_checkpoint(ckpt_dir: str, state: TrainState, conf: Config) -> str:
     """Versioned Orbax checkpoint: ckpt_dir/step_<N>/ holding the full state."""
@@ -174,11 +211,15 @@ def fit(
     dump_audio_dir: Optional[str] = None,
     dump_every: int = 10,
     seed: Optional[int] = None,
+    device_steps: int = 0,
 ) -> Tuple[TrainState, Dict[str, float]]:
     """Train the decoder on extracted features for ``num_steps`` steps.
 
-    Single-host convenience wrapper; the multi-chip path lives in
-    parallel/train (same step function, sharded batch).
+    ``device_steps > 1`` switches to the device-resident scan trainer
+    (``make_train_scan``): features are uploaded once and each host call
+    runs that many optimizer steps on-device. Single-host convenience
+    wrapper; the multi-chip path lives in parallel/train (same step
+    function, sharded batch).
     """
     from ddsp_tpu.data.dataset import batch_iterator
 
@@ -186,9 +227,15 @@ def fit(
     if state is None:
         key, ks = jax.random.split(key)
         state = init_state(ks, conf)
-    step_fn = jax.jit(make_train_step(conf), donate_argnums=0)
     logger = MetricsLogger(log_path)
 
+    if device_steps > 1:
+        return _fit_scan(
+            conf, features, num_steps, state, key, logger,
+            dump_audio_dir, dump_every, device_steps,
+        )
+
+    step_fn = jax.jit(make_train_step(conf), donate_argnums=0)
     last: Dict[str, float] = {}
     steps_done = 0
     epoch = 0
@@ -213,14 +260,57 @@ def fit(
     return state, last
 
 
+def _fit_scan(
+    conf, features, num_steps, state, key, logger,
+    dump_audio_dir, dump_every, device_steps,
+) -> Tuple[TrainState, Dict[str, float]]:
+    data = {
+        k: jnp.asarray(features[k]) for k in TRAIN_KEYS if k in features
+    }
+    many = jax.jit(make_train_scan(conf, device_steps), donate_argnums=0)
+    last: Dict[str, float] = {}
+    steps_done = 0
+    calls = 0
+    next_ckpt = conf.checkpoint_every or float("inf")
+    t0 = time.time()
+    while steps_done < num_steps:
+        key, ke = jax.random.split(key)
+        state, mstack = many(state, data, ke)
+        steps_done += device_steps
+        calls += 1
+        last = {k: float(v[-1]) for k, v in mstack.items()}
+        last["loss_mean"] = float(jnp.mean(mstack["loss"]))
+        last["steps_per_s"] = steps_done / (time.time() - t0)
+        logger.log(int(state.step), last)
+        if steps_done >= next_ckpt:
+            save_checkpoint(conf.checkpoint_dir, state, conf)
+            next_ckpt += conf.checkpoint_every
+        if dump_audio_dir and (calls % dump_every == 0 or steps_done >= num_steps):
+            _dump_reconstructions(state, conf, features, dump_audio_dir, calls)
+    logger.close()
+    return state, last
+
+
+@functools.lru_cache(maxsize=4)
+def _dump_decoder(conf: Config):
+    """Jitted decode-for-dumping; cached so repeated dumps (and high-latency
+    links, where eager op-by-op dispatch is ruinous) pay one compile."""
+    return jax.jit(
+        lambda params, batch, key: decoder_apply(params, batch, conf, key)
+    )
+
+
 def _dump_reconstructions(state, conf, features, out_dir, epoch, n=2):
     """Write a few reconstructed examples as wavs (the reference's audible
     validation, train/train.py:39-43, with parameterized paths)."""
     from ddsp_tpu.data.audio_io import write_wav
 
     os.makedirs(out_dir, exist_ok=True)
-    batch = {k: jnp.asarray(v[:n]) for k, v in features.items()}
-    pred = decoder_apply(state.params, batch, conf, jax.random.PRNGKey(epoch))
+    batch = {
+        k: jnp.asarray(features[k][:n])
+        for k in ("f0", "normalized_cents", "loudness")
+    }
+    pred = _dump_decoder(conf)(state.params, batch, jax.random.PRNGKey(epoch))
     for i, row in enumerate(np.asarray(pred)):
         write_wav(
             os.path.join(out_dir, f"epoch{epoch:03d}-{i}.wav"),

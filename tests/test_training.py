@@ -104,6 +104,38 @@ def test_fit_and_checkpoint_roundtrip(tmp_path):
     )
 
 
+def test_fit_device_steps_scan(tmp_path):
+    """Device-resident scan trainer: loss decreases, step count advances,
+    metrics/dumps written — same observable contract as the host loop."""
+    conf = CONF.replace(checkpoint_dir=str(tmp_path / "ckpt"), checkpoint_every=10)
+    feats = _synthetic_features(conf)
+    state, metrics = fit(
+        conf,
+        feats,
+        num_steps=20,
+        log_path=str(tmp_path / "metrics.jsonl"),
+        dump_audio_dir=str(tmp_path / "audio"),
+        device_steps=5,
+        dump_every=4,
+    )
+    assert int(state.step) == 20
+    assert np.isfinite(metrics["loss"])
+    # the scan path reports the window mean too; training this long on a
+    # constant-pitch target must improve on the initial loss
+    state0 = init_state(jax.random.PRNGKey(0), CONF)
+    from ddsp_tpu.training.trainer import loss_fn
+
+    l0, _ = loss_fn(
+        state0.params,
+        {k: jnp.asarray(v[:4]) for k, v in feats.items()},
+        CONF,
+        jax.random.PRNGKey(1),
+    )
+    assert metrics["loss_mean"] < float(l0)
+    assert latest_checkpoint(conf.checkpoint_dir)
+    assert list((tmp_path / "audio").glob("*.wav"))
+
+
 def test_torch_decoder_import(reference_path, tmp_path):
     """Round-trip: build the reference torch Decoder, save a Lightning-style
     ckpt, import it, and check the imported controller matches torch."""
