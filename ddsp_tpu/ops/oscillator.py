@@ -47,7 +47,12 @@ TWO_PI = 2.0 * np.pi
 
 
 def nyquist_normalized_amps(
-    f0: jnp.ndarray, harm_amps: jnp.ndarray, sample_rate: int
+    f0: jnp.ndarray,
+    harm_amps: jnp.ndarray,
+    sample_rate: int,
+    *,
+    h_start: int = 0,
+    denom: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Zero amplitudes of harmonics above Nyquist, renormalize to sum 1.
 
@@ -57,12 +62,21 @@ def nyquist_normalized_amps(
     Args:
       f0: (..., 1) fundamental frequency in Hz.
       harm_amps: (..., H) harmonic amplitude distribution.
+      h_start: harmonic-number offset -- ``harm_amps[..., i]`` belongs to
+        harmonic ``h_start + i + 1`` (tensor-parallel shards of the bank).
+      denom: externally computed normalization sum (e.g. a ``psum`` of the
+        masked amps over a 'model' mesh axis); defaults to the local sum.
     """
     n_harmonics = harm_amps.shape[-1]
-    h = jnp.arange(1, n_harmonics + 1, dtype=f0.dtype)
+    # h_start may be a traced scalar (e.g. axis_index * shard inside shard_map)
+    h = jnp.arange(1, n_harmonics + 1, dtype=f0.dtype) + jnp.asarray(
+        h_start, f0.dtype
+    )
     mask = (f0 * h) > (sample_rate // 2)
     amps = jnp.where(mask, 0.0, harm_amps)
-    return amps / jnp.sum(amps, axis=-1, keepdims=True)
+    if denom is None:
+        denom = jnp.sum(amps, axis=-1, keepdims=True)
+    return amps / denom
 
 
 def _fundamental_phase_cycles(
@@ -121,15 +135,19 @@ def _fundamental_phase_cycles(
 QUANT = 4096.0  # split grid: h * coarse phase is exact in f32 for h <= 2048
 
 
-def harmonic_sines(phase1: jnp.ndarray, n_harmonics: int) -> jnp.ndarray:
-    """sin(2 pi h phi) for h = 1..H from fractional fundamental phase.
+def harmonic_sines(
+    phase1: jnp.ndarray, n_harmonics: int, h_start: int = 0
+) -> jnp.ndarray:
+    """sin(2 pi h phi) for h = h_start+1..h_start+H from fundamental phase.
 
     Split-precision product: phi = hi + lo with hi on a 1/4096-cycle grid
     makes h*hi exactly representable (so its frac is exact), leaving only
     h*lo (tiny) in rounding territory -- the harmonic phase error stays
     ~h * ulp(phi) ~ 1e-5 cycles instead of ulp(h * phi) ~ 1e-3.
     """
-    h = jnp.arange(1, n_harmonics + 1, dtype=phase1.dtype)
+    h = jnp.arange(1, n_harmonics + 1, dtype=phase1.dtype) + jnp.asarray(
+        h_start, phase1.dtype
+    )
     hi = jnp.floor(phase1 * QUANT) / QUANT
     lo = phase1 - hi
     coarse = hi[..., None] * h  # exact: multiples of 1/4096 below 2^24
@@ -144,6 +162,7 @@ def _render_from_phase(
     amps_pad: jnp.ndarray,  # (B, T+2, H) masked+renormalized amplitudes
     loud_pad: jnp.ndarray,  # (B, T+2) overall loudness
     n_harmonics: int,
+    h_start: int = 0,
 ) -> jnp.ndarray:
     """sum_h amp_h(i) * sin(2 pi h phi1(i)), with linear-interp amps/loudness.
 
@@ -153,7 +172,7 @@ def _render_from_phase(
     """
     b, t, hop = phase1.shape
     # (B, T, hop, H) sine basis -- the arithmetic core.
-    sines = harmonic_sines(phase1, n_harmonics)
+    sines = harmonic_sines(phase1, n_harmonics, h_start)
     # Frame windows of amplitudes: (B, T, 3, H)
     amp_win = jnp.stack(
         [amps_pad[:, :-2], amps_pad[:, 1:-1], amps_pad[:, 2:]], axis=2
@@ -181,6 +200,8 @@ def render_padded(
     hop: int,
     initial_phase: Optional[jnp.ndarray] = None,
     frame_chunk: Optional[int] = None,
+    h_start: int = 0,
+    normalize_amps: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Render audio from frame-rate controls that carry 1 frame of context.
 
@@ -194,6 +215,11 @@ def render_padded(
       frame_chunk: if set, render in chunks of this many frames under
         ``jax.checkpoint`` to bound peak memory (the sine basis is
         rematerialized in the backward pass).
+      h_start: harmonic-number offset of ``amps_pad``'s slice of the bank
+        (tensor parallelism over harmonics, parallel/tp.py).
+      normalize_amps: apply Nyquist mask + renormalization here.  Pass False
+        when amps were already masked/normalized globally (TP shards must
+        normalize by the psum over every shard's amps).
 
     Returns:
       audio: (B, T*hop) rendered harmonic signal.
@@ -207,7 +233,10 @@ def render_padded(
     if initial_phase is None:
         initial_phase = jnp.zeros((b,), f0_pad.dtype)
 
-    amps_pad = nyquist_normalized_amps(f0_pad, amps_pad, sample_rate)
+    if normalize_amps:
+        amps_pad = nyquist_normalized_amps(
+            f0_pad, amps_pad, sample_rate, h_start=h_start
+        )
     f0p = f0_pad[..., 0]
     loudp = loud_pad[..., 0]
 
@@ -216,7 +245,7 @@ def render_padded(
     final_phase = phase1[:, -1, -1]
 
     if frame_chunk is None or frame_chunk >= t:
-        audio = _render_from_phase(phase1, amps_pad, loudp, n_harmonics)
+        audio = _render_from_phase(phase1, amps_pad, loudp, n_harmonics, h_start)
         return audio, final_phase
 
     if t % frame_chunk:
@@ -230,7 +259,7 @@ def render_padded(
     def chunk(i):
         ph = jax.lax.dynamic_slice_in_dim(phase1, i * frame_chunk, frame_chunk, 1)
         return _render_from_phase(
-            ph, window(amps_pad, i), window(loudp, i), n_harmonics
+            ph, window(amps_pad, i), window(loudp, i), n_harmonics, h_start
         )
 
     chunks = jax.lax.map(chunk, jnp.arange(n_chunks))  # (n_chunks, B, fc*hop)

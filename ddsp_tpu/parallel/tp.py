@@ -1,0 +1,201 @@
+"""Tensor parallelism over the harmonic axis of the oscillator bank.
+
+The reference has no model parallelism of any kind (single GPU,
+SURVEY.md section 2 last rows); the survey names "optional TP over
+harmonics/filter-channel axes" as a first-class deliverable of the TPU
+framework.  Design:
+
+* The 180-harmonic sine bank -- the arithmetic core of the synth -- is
+  sharded over a 'model' mesh axis: each device renders a contiguous slice
+  of harmonic numbers (the amp tensor sharded on its channel axis, rendered
+  with the matching ``h_start`` offset).
+* The Nyquist-renormalization denominator (a sum over ALL harmonics,
+  reference harmonic_oscillator.py:33) and the partial audio are the only
+  cross-shard quantities; both are single ``psum``s over ICI.
+* Frame-rate controls (f0, loudness) and the tiny noise/reverb branches
+  stay replicated over 'model' -- their FLOPs are a rounding error next to
+  the bank, and sharding the 195 noise-filter channels would trade one
+  matmul for an extra psum of the same size as its output.
+* Composes with data parallelism: mesh ('data', 'model'), batch sharded
+  over 'data', params replicated.  Gradients flow through the psums
+  (shard_map differentiates collectives), so the same train-step shape
+  works DP x TP.
+
+This is throughput-neutral on one chip and exists for scale-out of wide
+banks (thousands of harmonics / many-voice polyphony) where a single
+device's VMEM cannot hold the sine-bank working set.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ddsp_tpu.config import Config
+from ddsp_tpu.models.synths import reverb_apply
+from ddsp_tpu.ops.fir import amp_to_impulse_response, fft_convolve, frame_noise
+from ddsp_tpu.ops.oscillator import nyquist_normalized_amps, render_padded
+from ddsp_tpu.parallel.mesh import DATA_AXIS
+
+MODEL_AXIS = "model"
+
+
+def make_dp_tp_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """('data', 'model') mesh: batch over 'data', harmonics over 'model'."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        if len(devices) % n_model:
+            raise ValueError(
+                f"{len(devices)} devices not divisible by n_model={n_model}"
+            )
+        n_data = len(devices) // n_model
+    needed = n_data * n_model
+    if needed > len(devices):
+        raise ValueError(
+            f"mesh {n_data}x{n_model} needs {needed} devices, have {len(devices)}"
+        )
+    grid = np.asarray(devices[:needed]).reshape(n_data, n_model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def _edge_pad(x: jnp.ndarray) -> jnp.ndarray:
+    """One frame of replicated context on each side (offline semantics)."""
+    return jnp.concatenate([x[:, :1], x, x[:, -1:]], axis=1)
+
+
+def render_controls_tp(
+    reverb_params: Dict,
+    controls: Dict[str, jnp.ndarray],
+    conf: Config,
+    mesh: Mesh,
+    noise_key: jax.Array,
+) -> jnp.ndarray:
+    """Render controls to audio with the harmonic bank sharded over 'model'.
+
+    Args:
+      controls: {f0 (B,T,1), c (B,T,H), a (B,T,1), H (B,T,nf)} frame-rate
+        controls; B divisible by the 'data' axis.  H is zero-padded up to a
+        multiple of the 'model' axis (zero-amp harmonics are inert).
+
+    Returns:
+      (B, T*hop) audio, sharded over 'data', replicated over 'model';
+      numerically matches the single-device synthesis path (same math, the
+      amp-renorm sum and audio sum merely reduced via psum).
+    """
+    n_model = mesh.shape[MODEL_AXIS]
+    b_global = controls["f0"].shape[0]
+    b_local = b_global // mesh.shape[DATA_AXIS]
+    h_total = controls["c"].shape[-1]
+    pad = (-h_total) % n_model
+    c = (
+        jnp.pad(controls["c"], ((0, 0), (0, 0), (0, pad)))
+        if pad
+        else controls["c"]
+    )
+    h_local = (h_total + pad) // n_model
+    t = controls["f0"].shape[1]
+    hop = conf.hop_length
+
+    rspec = P(DATA_AXIS, None, None)
+    cspec = P(DATA_AXIS, None, MODEL_AXIS)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), rspec, cspec, rspec, rspec, P()),
+        out_specs=P(DATA_AXIS, None),
+        check_vma=False,
+    )
+    def shard(rev_params, f0, c_local, a, noise_mags, key):
+        h0 = jax.lax.axis_index(MODEL_AXIS) * h_local
+        f0p, cp, ap = _edge_pad(f0), _edge_pad(c_local), _edge_pad(a)
+        # Nyquist mask locally, renormalize by the global (psum'd) sum.
+        masked = nyquist_normalized_amps(
+            f0p, cp, conf.sample_rate, h_start=h0, denom=jnp.ones((), cp.dtype)
+        )
+        denom = jax.lax.psum(
+            jnp.sum(masked, axis=-1, keepdims=True), MODEL_AXIS
+        )
+        amps = masked / denom
+        partial, _ = render_padded(
+            f0p,
+            amps,
+            ap,
+            sample_rate=conf.sample_rate,
+            hop=hop,
+            h_start=h0,
+            normalize_amps=False,
+        )
+        harm = jax.lax.psum(partial, MODEL_AXIS)
+
+        # Noise branch, replicated over 'model'.  The global batch's noise is
+        # drawn and row-sliced so DP output is bit-identical to unsharded.
+        didx = jax.lax.axis_index(DATA_AXIS)
+        noise_full = frame_noise(key, b_global, t, hop, 0, harm.dtype)
+        noise = jax.lax.dynamic_slice_in_dim(
+            noise_full, didx * b_local, b_local, 0
+        )
+        impulse = amp_to_impulse_response(noise_mags, hop)
+        dry = harm + fft_convolve(noise, impulse).reshape(-1, t * hop)
+        return reverb_apply(rev_params, dry, conf)
+
+    return shard(
+        reverb_params,
+        controls["f0"],
+        c,
+        controls["a"],
+        controls["H"],
+        noise_key,
+    )
+
+
+def decoder_apply_tp(
+    params: Dict,
+    batch: Dict[str, jnp.ndarray],
+    conf: Config,
+    mesh: Mesh,
+    noise_key: jax.Array,
+) -> jnp.ndarray:
+    """Full decode with TP synthesis: controller (replicated over 'model',
+    batch-sharded over 'data' by GSPMD) -> harmonic-sharded synth."""
+    from ddsp_tpu.models.controller import controller_apply
+
+    controls, _ = controller_apply(params["controller"], batch)
+    return render_controls_tp(params["reverb"], controls, conf, mesh, noise_key)
+
+
+def make_tp_train_step(conf: Config, mesh: Mesh):
+    """Jitted DP x TP train step: same contract as trainer.make_train_step,
+    with the synthesis FLOPs sharded over 'model' and the batch over 'data'.
+    Gradients of the psums are the standard shard_map transposes; the
+    optimizer update runs replicated (params are replicated)."""
+    from ddsp_tpu.losses import mss_loss_per_scale
+    from ddsp_tpu.training.trainer import make_train_step
+
+    def tp_loss(params, batch, conf_, noise_key):
+        pred = decoder_apply_tp(params, batch, conf_, mesh, noise_key)
+        loss_dtype = (
+            None
+            if conf_.loss_matmul_dtype == "float32"
+            else jnp.dtype(conf_.loss_matmul_dtype)
+        )
+        scales = mss_loss_per_scale(
+            pred,
+            batch["audio"],
+            conf_.mss_ffts,
+            conf_.mss_alpha,
+            conf_.mss_overlap,
+            matmul_dtype=loss_dtype,
+        )
+        return sum(scales.values()), scales
+
+    return jax.jit(make_train_step(conf, loss=tp_loss), donate_argnums=0)

@@ -79,21 +79,27 @@ def loss_fn(
     return loss, scales
 
 
-def make_train_step(conf: Config):
-    """Jittable (state, batch) -> (state, metrics) pure training step."""
+def make_train_step(conf: Config, loss=None):
+    """Jittable (state, batch) -> (state, metrics) pure training step.
+
+    ``loss`` defaults to the single-device :func:`loss_fn`; parallel layers
+    pass their own (e.g. the tensor-parallel decode, parallel/tp.py) and
+    reuse this optimizer/metrics plumbing unchanged.
+    """
     tx = make_optimizer(conf)
+    loss = loss_fn if loss is None else loss
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         rng, noise_key = jax.random.split(state.rng)
-        (loss, scales), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (loss_val, scales), grads = jax.value_and_grad(loss, has_aux=True)(
             state.params, batch, conf, noise_key
         )
         updates, opt_state = tx.update(
-            grads, state.opt_state, state.params, value=loss
+            grads, state.opt_state, state.params, value=loss_val
         )
         params = optax.apply_updates(state.params, updates)
         metrics = dict(scales)
-        metrics["loss"] = loss
+        metrics["loss"] = loss_val
         metrics["grad_norm"] = optax.global_norm(grads)
         new_state = TrainState(state.step + 1, params, opt_state, rng)
         return new_state, metrics

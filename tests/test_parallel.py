@@ -139,3 +139,92 @@ def test_dp_train_step_matches_single():
     leaves_p = jax.tree_util.tree_leaves(pstate.params)
     for a, b in zip(leaves_l, leaves_p):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
+
+
+# --- tensor parallelism over harmonics (parallel/tp.py) ----------------------
+from ddsp_tpu.parallel.tp import (
+    decoder_apply_tp,
+    make_dp_tp_mesh,
+    make_tp_train_step,
+    render_controls_tp,
+)
+
+
+@pytest.mark.parametrize("n_model", [2, 4, 8])
+def test_tp_render_matches_single(snr, n_model):
+    """Harmonic-sharded synthesis == single-device synthesis.
+
+    n_model=8 exercises the zero-pad path (16 harmonics over 8 shards = 2
+    each; also run with a non-divisible count below)."""
+    mesh = make_dp_tp_mesh(n_data=1, n_model=n_model,
+                           devices=jax.devices()[:n_model])
+    controls = {k: jnp.asarray(v) for k, v in _controls(b=2).items()}
+    key = jax.random.PRNGKey(3)
+    rev = {"noise": jax.random.normal(jax.random.PRNGKey(9), (CONF.ir_length,)),
+           "decay": jnp.float32(2.0), "wet": jnp.float32(0.5)}
+    want = np.asarray(_single_device_render(rev, controls, key))
+    got = np.asarray(render_controls_tp(rev, controls, CONF, mesh, key))
+    assert got.shape == want.shape
+    assert snr(want, got) > 80.0
+
+
+def test_tp_render_nondivisible_harmonics(snr):
+    """17 harmonics over 4 shards: the bank is zero-padded to 20."""
+    conf = CONF.replace(n_harmonics=17)
+    mesh = make_dp_tp_mesh(n_data=1, n_model=4, devices=jax.devices()[:4])
+    rng = np.random.default_rng(5)
+    t = 32
+    controls = {
+        "f0": jnp.asarray(rng.uniform(80, 500, (1, t, 1)).astype(np.float32)),
+        "c": jnp.asarray(rng.uniform(0.01, 1, (1, t, 17)).astype(np.float32)),
+        "a": jnp.asarray(rng.uniform(0, 1, (1, t, 1)).astype(np.float32)),
+        "H": jnp.asarray(rng.uniform(0, 1, (1, t, CONF.n_noise_filters)).astype(np.float32)),
+    }
+    key = jax.random.PRNGKey(4)
+    rev = {"noise": jax.random.normal(jax.random.PRNGKey(9), (conf.ir_length,)),
+           "decay": jnp.float32(2.0), "wet": jnp.float32(0.5)}
+
+    def single(rev, controls, key):
+        harm, _ = oscillator_bank(
+            controls["f0"], controls["c"], controls["a"],
+            sample_rate=conf.sample_rate, hop=conf.hop_length,
+        )
+        noise = filtered_noise(controls["H"], key, conf.hop_length)
+        imp = reverb_impulse(rev, conf)
+        return fft_convolve(harm + noise, imp[None, :], kernel_len=imp.shape[-1])
+
+    want = np.asarray(single(rev, controls, key))
+    got = np.asarray(render_controls_tp(rev, controls, conf, mesh, key))
+    assert snr(want, got) > 80.0
+
+
+def test_dp_tp_train_step_matches_single():
+    """2-way data x 4-way harmonic tensor parallelism: one train step's loss
+    and updated params match the single-device step."""
+    mesh = make_dp_tp_mesh(n_data=2, n_model=4)
+    rng = np.random.default_rng(0)
+    t = CONF.frames_per_example
+    batch = {
+        "f0": rng.uniform(100, 400, (8, t, 1)).astype(np.float32),
+        "normalized_cents": rng.uniform(0, 1, (8, t, 1)).astype(np.float32),
+        "loudness": rng.uniform(0, 1, (8, t, 1)).astype(np.float32),
+        "audio": (0.1 * rng.standard_normal((8, CONF.example_length))).astype(np.float32),
+    }
+    state0 = init_state(jax.random.PRNGKey(0), CONF)
+    local_state, local_metrics = jax.jit(make_train_step(CONF))(state0, batch)
+
+    tstep = make_tp_train_step(CONF, mesh)
+    tstate = shard_state(init_state(jax.random.PRNGKey(0), CONF), mesh)
+    tbatch = {k: jax.device_put(jnp.asarray(v),
+                                jax.NamedSharding(mesh, jax.P("data")))
+              for k, v in batch.items()}
+    tstate, tmetrics = tstep(tstate, tbatch)
+
+    assert abs(float(local_metrics["loss"]) - float(tmetrics["loss"])) < 1e-2
+    # Adam normalizes each grad by its magnitude, so psum reduction-order
+    # noise on a near-zero grad can flip a whole update step of size ~lr
+    # (1e-3); bound the disagreement by 3x that.
+    for a, b in zip(jax.tree_util.tree_leaves(local_state.params),
+                    jax.tree_util.tree_leaves(tstate.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=3e-3)
