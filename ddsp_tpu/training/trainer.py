@@ -17,6 +17,7 @@ from __future__ import annotations
 import functools
 import json
 import os
+import re
 import time
 from typing import Any, Dict, Iterator, NamedTuple, Optional, Tuple
 
@@ -158,9 +159,18 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, conf: Config) -> str:
 
 
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    """Newest *finalized* checkpoint, or None.
+
+    A process killed mid-save leaves Orbax's atomic-rename temp directory
+    (``step_N.orbax-checkpoint-tmp-...``) behind; only exact ``step_N``
+    names are finalized checkpoints, so anything else is skipped — resume
+    after a crash lands on the last complete save.
+    """
     if not os.path.isdir(ckpt_dir):
         return None
-    steps = [d for d in os.listdir(ckpt_dir) if d.startswith("step_")]
+    steps = [
+        d for d in os.listdir(ckpt_dir) if re.fullmatch(r"step_\d+", d)
+    ]
     if not steps:
         return None
     return os.path.join(ckpt_dir, max(steps, key=lambda d: int(d.split("_")[1])))

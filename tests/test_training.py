@@ -136,6 +136,57 @@ def test_fit_device_steps_scan(tmp_path):
     assert list((tmp_path / "audio").glob("*.wav"))
 
 
+def test_kill_and_resume_fault_injection(tmp_path):
+    """Fault injection (SURVEY §5, failure detection/elastic recovery):
+    SIGKILL a training process mid-run, then restart and resume from its
+    latest Orbax checkpoint — the fail-stop SPMD recovery model."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    conf = CONF.replace(
+        checkpoint_dir=str(tmp_path / "ckpt"), checkpoint_every=4
+    )
+    feats = _synthetic_features(conf)
+    np.savez(tmp_path / "feats.npz", **feats)
+
+    script = f"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import sys
+sys.path.insert(0, {repr(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))})
+import numpy as np
+from ddsp_tpu.config import Config
+from ddsp_tpu.training.trainer import fit
+conf = Config.from_json(open({repr(str(tmp_path / "conf.json"))}).read())
+feats = dict(np.load({repr(str(tmp_path / "feats.npz"))}))
+fit(conf, feats, num_steps=100000)
+"""
+    (tmp_path / "conf.json").write_text(conf.to_json())
+    env = dict(os.environ)
+    proc = subprocess.Popen([sys.executable, "-c", script], env=env)
+    try:
+        deadline = time.time() + 300
+        while latest_checkpoint(conf.checkpoint_dir) is None:
+            assert proc.poll() is None, "trainer died before checkpointing"
+            assert time.time() < deadline, "no checkpoint within deadline"
+            time.sleep(1.0)
+    finally:
+        proc.send_signal(signal.SIGKILL)
+        proc.wait()
+
+    ckpt = latest_checkpoint(conf.checkpoint_dir)
+    template = init_state(jax.random.PRNGKey(123), conf)
+    state = restore_checkpoint(ckpt, template)
+    killed_at = int(state.step)
+    assert killed_at >= 4
+    state, metrics = fit(conf, feats, num_steps=4, state=state)
+    assert int(state.step) == killed_at + 4
+    assert np.isfinite(metrics["loss"])
+
+
 def test_torch_decoder_import(reference_path, tmp_path):
     """Round-trip: build the reference torch Decoder, save a Lightning-style
     ckpt, import it, and check the imported controller matches torch."""
