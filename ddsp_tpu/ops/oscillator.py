@@ -53,6 +53,7 @@ def nyquist_normalized_amps(
     *,
     h_start: int = 0,
     denom: Optional[jnp.ndarray] = None,
+    normalize: bool = True,
 ) -> jnp.ndarray:
     """Zero amplitudes of harmonics above Nyquist, renormalize to sum 1.
 
@@ -66,6 +67,8 @@ def nyquist_normalized_amps(
         harmonic ``h_start + i + 1`` (tensor-parallel shards of the bank).
       denom: externally computed normalization sum (e.g. a ``psum`` of the
         masked amps over a 'model' mesh axis); defaults to the local sum.
+      normalize: False returns the masked amps undivided (caller
+        normalizes, e.g. by a global psum'd denominator).
     """
     n_harmonics = harm_amps.shape[-1]
     # h_start may be a traced scalar (e.g. axis_index * shard inside shard_map)
@@ -74,6 +77,8 @@ def nyquist_normalized_amps(
     )
     mask = (f0 * h) > (sample_rate // 2)
     amps = jnp.where(mask, 0.0, harm_amps)
+    if not normalize:
+        return amps
     if denom is None:
         denom = jnp.sum(amps, axis=-1, keepdims=True)
     return amps / denom

@@ -20,7 +20,7 @@ import functools
 import jax.numpy as jnp
 import numpy as np
 
-from ddsp_tpu.ops.fft import DIRECT_MAX, rfft_pair
+from ddsp_tpu.ops.fft import DIRECT_MAX, _mm, rfft_pair
 from ddsp_tpu.ops.fir import hann_window
 
 
@@ -79,7 +79,14 @@ def _spectrogram_hopblocked(
     n_frames = 1 + (lp - n_fft) // hop
     blocks = xp.reshape(*xp.shape[:-1], lp // hop, hop)
     cos_b, sin_b = _hann_rdft_blocks(n_fft, hop)
-    acc = functools.partial(jnp.matmul, preferred_element_type=jnp.float32)
+    if matmul_dtype is not None:
+        # explicit low-precision inputs, f32 accumulation
+        acc = functools.partial(jnp.matmul, preferred_element_type=jnp.float32)
+    else:
+        # honor the FFT layer's precision contract (set_fft_precision):
+        # default-precision bf16 MXU passes cost ~50 dB and would silently
+        # break the 'float32 for exact evals' mode
+        acc = _mm
     re = im = 0.0
     for j in range(n_fft // hop):
         part = blocks[..., j : j + n_frames, :]

@@ -120,7 +120,7 @@ def render_controls_tp(
         f0p, cp, ap = _edge_pad(f0), _edge_pad(c_local), _edge_pad(a)
         # Nyquist mask locally, renormalize by the global (psum'd) sum.
         masked = nyquist_normalized_amps(
-            f0p, cp, conf.sample_rate, h_start=h0, denom=jnp.ones((), cp.dtype)
+            f0p, cp, conf.sample_rate, h_start=h0, normalize=False
         )
         denom = jax.lax.psum(
             jnp.sum(masked, axis=-1, keepdims=True), MODEL_AXIS
@@ -169,7 +169,10 @@ def decoder_apply_tp(
     batch-sharded over 'data' by GSPMD) -> harmonic-sharded synth."""
     from ddsp_tpu.models.controller import controller_apply
 
-    controls, _ = controller_apply(params["controller"], batch)
+    dtype = (
+        jnp.dtype(conf.compute_dtype) if conf.compute_dtype != "float32" else None
+    )
+    controls, _ = controller_apply(params["controller"], batch, compute_dtype=dtype)
     return render_controls_tp(params["reverb"], controls, conf, mesh, noise_key)
 
 
@@ -178,24 +181,10 @@ def make_tp_train_step(conf: Config, mesh: Mesh):
     with the synthesis FLOPs sharded over 'model' and the batch over 'data'.
     Gradients of the psums are the standard shard_map transposes; the
     optimizer update runs replicated (params are replicated)."""
-    from ddsp_tpu.losses import mss_loss_per_scale
-    from ddsp_tpu.training.trainer import make_train_step
+    from ddsp_tpu.training.trainer import loss_fn, make_train_step
 
-    def tp_loss(params, batch, conf_, noise_key):
-        pred = decoder_apply_tp(params, batch, conf_, mesh, noise_key)
-        loss_dtype = (
-            None
-            if conf_.loss_matmul_dtype == "float32"
-            else jnp.dtype(conf_.loss_matmul_dtype)
-        )
-        scales = mss_loss_per_scale(
-            pred,
-            batch["audio"],
-            conf_.mss_ffts,
-            conf_.mss_alpha,
-            conf_.mss_overlap,
-            matmul_dtype=loss_dtype,
-        )
-        return sum(scales.values()), scales
+    def tp_decode(params, batch, conf_, noise_key):
+        return decoder_apply_tp(params, batch, conf_, mesh, noise_key)
 
+    tp_loss = functools.partial(loss_fn, decode=tp_decode)
     return jax.jit(make_train_step(conf, loss=tp_loss), donate_argnums=0)

@@ -59,10 +59,18 @@ def init_state(key: jax.Array, conf: Config) -> TrainState:
 
 
 def loss_fn(
-    params: Any, batch: Dict[str, jnp.ndarray], conf: Config, noise_key: jax.Array
+    params: Any,
+    batch: Dict[str, jnp.ndarray],
+    conf: Config,
+    noise_key: jax.Array,
+    decode=decoder_apply,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """MSS reconstruction loss of the decoded controls vs the target audio."""
-    pred = decoder_apply(params, batch, conf, noise_key)
+    """MSS reconstruction loss of the decoded controls vs the target audio.
+
+    ``decode`` swaps the decode implementation (e.g. the tensor-parallel
+    decoder, parallel/tp.py) while keeping the loss composition single-sourced.
+    """
+    pred = decode(params, batch, conf, noise_key)
     loss_dtype = (
         None
         if conf.loss_matmul_dtype == "float32"
@@ -283,16 +291,23 @@ def _fit_scan(
     data = {
         k: jnp.asarray(features[k]) for k in TRAIN_KEYS if k in features
     }
-    many = jax.jit(make_train_scan(conf, device_steps), donate_argnums=0)
+    # exact step count: full device_steps chunks plus (at most) one
+    # shorter jitted scan for the remainder
+    scans = {device_steps: jax.jit(make_train_scan(conf, device_steps),
+                                   donate_argnums=0)}
     last: Dict[str, float] = {}
     steps_done = 0
     calls = 0
     next_ckpt = conf.checkpoint_every or float("inf")
     t0 = time.time()
     while steps_done < num_steps:
+        chunk = min(device_steps, num_steps - steps_done)
+        if chunk not in scans:
+            scans[chunk] = jax.jit(make_train_scan(conf, chunk),
+                                   donate_argnums=0)
         key, ke = jax.random.split(key)
-        state, mstack = many(state, data, ke)
-        steps_done += device_steps
+        state, mstack = scans[chunk](state, data, ke)
+        steps_done += chunk
         calls += 1
         last = {k: float(v[-1]) for k, v in mstack.items()}
         last["loss_mean"] = float(jnp.mean(mstack["loss"]))

@@ -27,7 +27,13 @@ def main():
     from ddsp_tpu.models.crepe import load_torch_checkpoint
     from ddsp_tpu.training.trainer import fit, init_state, loss_fn
 
-    args = dict(a.lstrip("-").split("=", 1) for a in sys.argv[1:])
+    argv = sys.argv[1:]
+    if any("=" not in a for a in argv):
+        raise SystemExit(
+            "usage: convergence_demo.py --data_dir=DIR [--steps=N] "
+            "[--ckpt_dir=DIR] [--crepe=PATH]  (flags take --key=value form)"
+        )
+    args = dict(a.lstrip("-").split("=", 1) for a in argv)
     steps = int(args.get("steps", 3000))
     conf = Config(
         data_dir=args.get("data_dir", "/tmp/ddsp_demo/data"),
@@ -41,7 +47,9 @@ def main():
     n = len(feats["audio"])
     rng = np.random.default_rng(0)
     order = rng.permutation(n)
-    n_val = max(conf.batch_size, n // 8)
+    # round the held-out slice to whole eval batches so every held-out
+    # example contributes to the metric
+    n_val = max(conf.batch_size, n // 8 // conf.batch_size * conf.batch_size)
     val_idx, train_idx = order[:n_val], order[n_val:]
     train = {k: v[train_idx] for k, v in feats.items()}
     val = {k: v[val_idx] for k, v in feats.items()}

@@ -112,13 +112,13 @@ def test_fit_device_steps_scan(tmp_path):
     state, metrics = fit(
         conf,
         feats,
-        num_steps=20,
+        num_steps=22,  # not a multiple of device_steps: remainder scan
         log_path=str(tmp_path / "metrics.jsonl"),
         dump_audio_dir=str(tmp_path / "audio"),
         device_steps=5,
         dump_every=4,
     )
-    assert int(state.step) == 20
+    assert int(state.step) == 22
     assert np.isfinite(metrics["loss"])
     # the scan path reports the window mean too; training this long on a
     # constant-pitch target must improve on the initial loss
