@@ -115,3 +115,28 @@ def test_mss_loss_zero_for_identical():
     rng = np.random.default_rng(3)
     x = (0.1 * rng.standard_normal((1, 8192))).astype(np.float32)
     assert float(mss_loss(x, x, ffts=(512, 256, 128))) == 0.0
+
+
+def test_hopblocked_matches_framed_path():
+    """The hop-blocked STFT fast path must equal the framed matmul path
+    bit-for-bit up to f32 summation order (both directions of the branch in
+    spectrogram(); the hop-blocked branch fires when hop divides n_fft and
+    the padded length)."""
+    import jax.numpy as jnp
+
+    from ddsp_tpu.ops.fft import rfft_pair
+    from ddsp_tpu.ops.fir import hann_window
+    from ddsp_tpu.ops.spectral import frame_signal, reflect_pad
+
+    rng = np.random.default_rng(0)
+    n_fft, hop = 256, 64
+    x = rng.standard_normal((3, 64 * 40)).astype(np.float32)
+    got = np.asarray(spectrogram(jnp.asarray(x), n_fft, hop))
+
+    xp = reflect_pad(jnp.asarray(x), n_fft // 2)
+    assert xp.shape[-1] % hop == 0  # precondition: fast path was taken
+    frames = frame_signal(xp, n_fft, hop) * hann_window(n_fft)
+    re, im = rfft_pair(frames)
+    want = np.asarray(re * re + im * im)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
