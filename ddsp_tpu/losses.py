@@ -75,3 +75,56 @@ def mss_loss_per_scale(
         f"mss_{n}": sss_loss(pred, true, n, alpha, overlap, eps, matmul_dtype)
         for n in ffts
     }
+
+
+# --- cached-target variant ---------------------------------------------------
+# The target audio of a training set is fixed, so its spectrograms are
+# dataset constants; recomputing the 6 target-side STFTs every step wastes
+# ~10% of the train step.  Precompute them once (target_spectrograms),
+# gather rows per batch, and evaluate the loss against the cached mags.
+
+def target_mag_key(n_fft: int) -> str:
+    return f"mss_target_mag_{n_fft}"
+
+
+def target_spectrograms(
+    true: jnp.ndarray,
+    ffts: Sequence[int] = DEFAULT_FFTS,
+    overlap: float = 0.75,
+    matmul_dtype=None,
+) -> Dict[str, jnp.ndarray]:
+    """Per-scale power spectrograms of the (fixed) target audio."""
+    return {
+        target_mag_key(n): spectrogram(
+            true, n, int(n * (1 - overlap)), matmul_dtype=matmul_dtype
+        )
+        for n in ffts
+    }
+
+
+def mss_loss_per_scale_cached(
+    pred: jnp.ndarray,
+    target_mags: Dict[str, jnp.ndarray],
+    ffts: Sequence[int] = DEFAULT_FFTS,
+    alpha: float = 1.0,
+    overlap: float = 0.75,
+    eps: float = 1e-7,
+    matmul_dtype=None,
+) -> Dict[str, jnp.ndarray]:
+    """Per-scale loss terms against precomputed target spectrograms.
+
+    Identical math to :func:`mss_loss_per_scale` when ``target_mags`` was
+    built by :func:`target_spectrograms` with the same fft/overlap/dtype
+    settings (tested in tests/test_spectral.py).
+    """
+    out = {}
+    for n in ffts:
+        hop = int(n * (1 - overlap))
+        s_pred = spectrogram(pred, n, hop, matmul_dtype=matmul_dtype)
+        s_true = target_mags[target_mag_key(n)]
+        linear_term = jnp.mean(jnp.abs(s_pred - s_true))
+        log_term = jnp.mean(
+            jnp.abs(jnp.log2(s_true + eps) - jnp.log2(s_pred + eps))
+        )
+        out[f"mss_{n}"] = linear_term + alpha * log_term
+    return out

@@ -27,7 +27,12 @@ import numpy as np
 import optax
 
 from ddsp_tpu.config import Config
-from ddsp_tpu.losses import mss_loss_per_scale
+from ddsp_tpu.losses import (
+    mss_loss_per_scale,
+    mss_loss_per_scale_cached,
+    target_mag_key,
+    target_spectrograms,
+)
 from ddsp_tpu.models.controller import decoder_apply, decoder_init
 
 
@@ -69,6 +74,9 @@ def loss_fn(
 
     ``decode`` swaps the decode implementation (e.g. the tensor-parallel
     decoder, parallel/tp.py) while keeping the loss composition single-sourced.
+    If the batch carries precomputed target spectrograms
+    (losses.target_spectrograms keys, as the scan trainer provides), the
+    target-side STFTs are skipped.
     """
     pred = decode(params, batch, conf, noise_key)
     loss_dtype = (
@@ -76,14 +84,24 @@ def loss_fn(
         if conf.loss_matmul_dtype == "float32"
         else jnp.dtype(conf.loss_matmul_dtype)
     )
-    scales = mss_loss_per_scale(
-        pred,
-        batch["audio"],
-        conf.mss_ffts,
-        conf.mss_alpha,
-        conf.mss_overlap,
-        matmul_dtype=loss_dtype,
-    )
+    if target_mag_key(conf.mss_ffts[0]) in batch:
+        scales = mss_loss_per_scale_cached(
+            pred,
+            batch,
+            conf.mss_ffts,
+            conf.mss_alpha,
+            conf.mss_overlap,
+            matmul_dtype=loss_dtype,
+        )
+    else:
+        scales = mss_loss_per_scale(
+            pred,
+            batch["audio"],
+            conf.mss_ffts,
+            conf.mss_alpha,
+            conf.mss_overlap,
+            matmul_dtype=loss_dtype,
+        )
     loss = sum(scales.values())
     return loss, scales
 
@@ -284,6 +302,49 @@ def fit(
     return state, last
 
 
+_SPECTRA_CACHE_BYTES = 2 << 30  # cache target spectrograms up to 2 GB
+
+
+def _maybe_cache_target_spectra(conf: Config, features) -> Dict[str, jnp.ndarray]:
+    """Precompute per-example target spectrograms when they fit in HBM.
+
+    Saves the 6 target-side STFTs every step (~10% of the step); falls back
+    to per-step computation for datasets whose spectra exceed the budget.
+    """
+    audio = features["audio"]
+    n, length = audio.shape
+    bins = 0
+    for nf in conf.mss_ffts:
+        hop = int(nf * (1 - conf.mss_overlap))
+        frames = (length + 2 * (nf // 2) - nf) // hop + 1
+        bins += frames * (nf // 2 + 1)
+    if n * bins * 4 > _SPECTRA_CACHE_BYTES:
+        return {}
+    loss_dtype = (
+        None
+        if conf.loss_matmul_dtype == "float32"
+        else jnp.dtype(conf.loss_matmul_dtype)
+    )
+
+    @jax.jit
+    def mags_of(batch):
+        return target_spectrograms(
+            batch, conf.mss_ffts, conf.mss_overlap, matmul_dtype=loss_dtype
+        )
+
+    outs: Dict[str, list] = {}
+    bs = max(1, conf.batch_size)
+    for s in range(0, n, bs):
+        chunk = audio[s : s + bs]
+        pad_rows = bs - chunk.shape[0] if chunk.shape[0] < bs else 0
+        if pad_rows:
+            chunk = np.pad(chunk, ((0, pad_rows), (0, 0)))
+        mags = mags_of(jnp.asarray(chunk))
+        for k, v in mags.items():
+            outs.setdefault(k, []).append(v[: bs - pad_rows] if pad_rows else v)
+    return {k: jnp.concatenate(v, axis=0) for k, v in outs.items()}
+
+
 def _fit_scan(
     conf, features, num_steps, state, key, logger,
     dump_audio_dir, dump_every, device_steps,
@@ -291,6 +352,10 @@ def _fit_scan(
     data = {
         k: jnp.asarray(features[k]) for k in TRAIN_KEYS if k in features
     }
+    spectra = _maybe_cache_target_spectra(conf, features)
+    if spectra:
+        data.update(spectra)
+        del data["audio"]  # the cached loss never reads the raw audio
     # exact step count: full device_steps chunks plus (at most) one
     # shorter jitted scan for the remainder
     scans = {device_steps: jax.jit(make_train_scan(conf, device_steps),

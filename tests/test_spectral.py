@@ -140,3 +140,27 @@ def test_hopblocked_matches_framed_path():
     want = np.asarray(re * re + im * im)
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_cached_target_loss_matches_uncached():
+    """mss_loss_per_scale_cached(target_spectrograms(x)) == mss_loss_per_scale."""
+    import jax.numpy as jnp
+
+    from ddsp_tpu.losses import (
+        mss_loss_per_scale,
+        mss_loss_per_scale_cached,
+        target_spectrograms,
+    )
+
+    rng = np.random.default_rng(3)
+    pred = jnp.asarray(rng.standard_normal((2, 4096)).astype(np.float32))
+    true = jnp.asarray(rng.standard_normal((2, 4096)).astype(np.float32))
+    ffts = (256, 128, 64)
+    want = mss_loss_per_scale(pred, true, ffts)
+    mags = target_spectrograms(true, ffts)
+    got = mss_loss_per_scale_cached(pred, mags, ffts)
+    assert set(want) == set(got)
+    for k in want:
+        np.testing.assert_allclose(
+            np.asarray(want[k]), np.asarray(got[k]), rtol=1e-6
+        )
