@@ -137,7 +137,9 @@ def test_hopblocked_matches_framed_path():
     assert xp.shape[-1] % hop == 0  # precondition: fast path was taken
     frames = frame_signal(xp, n_fft, hop) * hann_window(n_fft)
     re, im = rfft_pair(frames)
-    want = np.asarray(re * re + im * im)
+    # framed path is (..., T, bins); spectrogram returns torchaudio-style
+    # (..., bins, T)
+    want = np.moveaxis(np.asarray(re * re + im * im), -1, -2)
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
