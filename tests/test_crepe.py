@@ -83,6 +83,35 @@ def test_activation_layers(tiny_params):
     assert shapes[5] == (2, 64, 4)
 
 
+def test_full_capacity_converter_matches_reference(reference_path, tmp_path):
+    """'full' capacity (in_features=2048, 1024-ch first conv) must convert and
+    match the torch reference forward.  full.pth itself is stripped from the
+    reference (.MISSING_LARGE_BLOBS), so a random-init state dict stands in --
+    this validates the converter + conv stack at full shapes (SURVEY.md
+    'pretrained-asset contract')."""
+    from crepe.crepe import Crepe
+
+    torch.manual_seed(0)
+    model = Crepe("full").eval()
+    path = tmp_path / "full_random.pth"
+    torch.save(model.state_dict(), path)
+    params = load_torch_checkpoint(str(path))
+
+    sd = model.state_dict()
+    want_n = sum(
+        v.numel() for k, v in sd.items() if "num_batches_tracked" not in k
+    )
+    assert nn.count_params(params) == want_n
+
+    rng = np.random.default_rng(4)
+    frames = rng.standard_normal((4, 1024)).astype(np.float32)
+    got = np.asarray(crepe_forward(params, frames))
+    with torch.no_grad():
+        want = model(torch.from_numpy(frames)).numpy()
+    assert got.shape == want.shape == (4, 360)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
 def test_pitch_decode_maps():
     assert abs(float(cents_map(0.0)) - 1997.3794084376191) < 1e-9
     # bin->cents->freq: C1 (32.7 Hz) is near bin 0
