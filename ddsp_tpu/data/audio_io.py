@@ -82,6 +82,54 @@ def data_to_float(x: np.ndarray, scale: float) -> np.ndarray:
     return (x / scale).astype(np.float32)
 
 
+def have_compressed_backend() -> bool:
+    """True if an optional decoder for mp3/ogg/flac is importable."""
+    import importlib.util
+
+    return any(
+        importlib.util.find_spec(m) is not None
+        for m in ("soundfile", "torchaudio", "librosa")
+    )
+
+
+def read_audio(path: str) -> Tuple[np.ndarray, int]:
+    """Read any supported audio file -> ((channels, samples) float32, rate).
+
+    WAV is decoded natively; other formats (the reference globs mp3/ogg too,
+    dataset/audio_dataset.py:22-24) go through an optional backend --
+    soundfile, torchaudio, or librosa, whichever imports first -- and raise
+    :class:`UnsupportedAudioFormat` when none is installed.
+    """
+    if path.lower().endswith(".wav"):
+        return read_wav(path)
+    try:
+        import soundfile
+
+        data, sr = soundfile.read(path, dtype="float32", always_2d=True)
+        return np.ascontiguousarray(data.T), int(sr)
+    except ImportError:
+        pass
+    try:
+        import torchaudio
+
+        wav, sr = torchaudio.load(path)
+        return wav.numpy().astype(np.float32), int(sr)
+    except ImportError:
+        pass
+    try:
+        import librosa
+
+        y, sr = librosa.load(path, sr=None, mono=False)
+        y = y[None, :] if y.ndim == 1 else y
+        return y.astype(np.float32), int(sr)
+    except ImportError:
+        pass
+    raise UnsupportedAudioFormat(
+        f"{path}: compressed audio needs soundfile/torchaudio/librosa "
+        "(none installed); convert to wav"
+    )
+
+
 def write_wav(path: str, audio: np.ndarray, sample_rate: int) -> None:
     """Write float32 audio (samples,) or (channels, samples) as 16-bit PCM WAV.
 

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ddsp_tpu.config import Config
-from ddsp_tpu.data.audio_io import read_wav
+from ddsp_tpu.data.audio_io import have_compressed_backend, read_audio
 from ddsp_tpu.models.autoencoder import feature_pad
 from ddsp_tpu.models.encoder import encoder_apply
 from ddsp_tpu.ops.resample import resample
@@ -43,16 +43,27 @@ def _cache_tag(conf: Config, files) -> str:
 
 
 def list_audio_files(data_dir: str):
+    """Glob wav (+ mp3/ogg/flac when a decoder backend is installed).
+
+    Mirrors the reference's wav/mp3/ogg glob (audio_dataset.py:22-24); this
+    environment ships no compressed-audio decoder, so without
+    soundfile/torchaudio/librosa those files produce a clear error instead.
+    """
     files = []
     for ext in ("wav", "WAV"):
         files += glob.glob(os.path.join(data_dir, "**", f"*.{ext}"), recursive=True)
-    unsupported = []
+    compressed = []
     for ext in ("mp3", "ogg", "flac"):
-        unsupported += glob.glob(os.path.join(data_dir, "**", f"*.{ext}"), recursive=True)
-    if unsupported and not files:
-        raise ValueError(
-            f"Only compressed audio found ({unsupported[:3]}...); convert to wav"
-        )
+        compressed += glob.glob(os.path.join(data_dir, "**", f"*.{ext}"), recursive=True)
+    if compressed:
+        if have_compressed_backend():
+            files += compressed
+        elif not files:
+            raise ValueError(
+                f"Only compressed audio found ({compressed[:3]}...) and no "
+                "decoder backend (soundfile/torchaudio/librosa) is installed; "
+                "convert to wav"
+            )
     if not files:
         raise ValueError(f"No valid audio files found in {data_dir!r}")
     return sorted(files)
@@ -72,7 +83,7 @@ def load_examples(conf: Config, clear: bool = False) -> np.ndarray:
 
     chunks = []
     for path in files:
-        y, sr = read_wav(path)
+        y, sr = read_audio(path)
         y = y.mean(axis=0) if y.shape[0] > 1 else y[0]
         if sr != conf.sample_rate:
             y = np.asarray(resample(jnp.asarray(y), sr, conf.sample_rate))

@@ -20,6 +20,13 @@ from ddsp_tpu.ops.spectral import spectrogram
 DEFAULT_FFTS: Tuple[int, ...] = (2048, 1024, 512, 256, 128, 64)
 
 
+def _as_audio(x, signal_key: str) -> jnp.ndarray:
+    """Reference MSSLoss dict-input convention (loss/mss_loss.py:57-62):
+    prediction dicts are read at ``signal_key`` ('audio_reverb' when
+    use_reverb else 'audio_synth'), target dicts at 'audio'."""
+    return x[signal_key] if isinstance(x, dict) else x
+
+
 def sss_loss(
     pred: jnp.ndarray,
     true: jnp.ndarray,
@@ -54,8 +61,17 @@ def mss_loss(
     overlap: float = 0.75,
     eps: float = 1e-7,
     matmul_dtype=None,
+    use_reverb: bool = True,
 ) -> jnp.ndarray:
-    """Multi-scale spectral loss (reference loss/mss_loss.py:36-68)."""
+    """Multi-scale spectral loss (reference loss/mss_loss.py:36-68).
+
+    ``pred`` / ``true`` may be dicts (e.g. from ``decoder_synth_only``): the
+    prediction is read at 'audio_reverb' (or 'audio_synth' when
+    ``use_reverb=False``), the target at 'audio' -- the reference's
+    MSSLoss dict convention.
+    """
+    pred = _as_audio(pred, "audio_reverb" if use_reverb else "audio_synth")
+    true = _as_audio(true, "audio")
     return sum(
         sss_loss(pred, true, n, alpha, overlap, eps, matmul_dtype) for n in ffts
     )

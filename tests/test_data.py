@@ -46,6 +46,56 @@ def test_non_wav_rejected(tmp_path):
         read_wav(path)
 
 
+def test_read_audio_dispatch(tmp_path, monkeypatch):
+    """read_audio: wav goes native; compressed uses an optional backend."""
+    import sys
+    import types
+
+    from ddsp_tpu.data import audio_io
+    from ddsp_tpu.data.audio_io import read_audio
+
+    sr = 8000
+    x = (0.25 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr)).astype(np.float32)
+    wav = str(tmp_path / "t.wav")
+    write_wav(wav, x, sr)
+    y, got_sr = read_audio(wav)
+    assert got_sr == sr and y.shape[0] == 1
+
+    # no backend installed -> clear error for compressed formats
+    mp3 = str(tmp_path / "t.mp3")
+    with open(mp3, "wb") as f:
+        f.write(b"ID3\x00fake")
+    if not audio_io.have_compressed_backend():
+        with pytest.raises(UnsupportedAudioFormat):
+            read_audio(mp3)
+
+    # fake soundfile backend -> dispatched there
+    fake = types.ModuleType("soundfile")
+    fake.read = lambda path, dtype, always_2d: (
+        np.zeros((16, 2), np.float32),
+        22050,
+    )
+    monkeypatch.setitem(sys.modules, "soundfile", fake)
+    y, got_sr = read_audio(mp3)
+    assert y.shape == (2, 16) and got_sr == 22050
+
+
+def test_list_audio_files_compressed_gating(tmp_path, monkeypatch):
+    from ddsp_tpu.data import dataset as ds
+
+    write_wav(str(tmp_path / "a.wav"), np.zeros(128, np.float32), 8000)
+    with open(tmp_path / "b.mp3", "wb") as f:
+        f.write(b"ID3\x00fake")
+
+    monkeypatch.setattr(ds, "have_compressed_backend", lambda: False)
+    files = ds.list_audio_files(str(tmp_path))
+    assert [os.path.basename(f) for f in files] == ["a.wav"]
+
+    monkeypatch.setattr(ds, "have_compressed_backend", lambda: True)
+    files = ds.list_audio_files(str(tmp_path))
+    assert [os.path.basename(f) for f in files] == ["a.wav", "b.mp3"]
+
+
 @pytest.fixture
 def tiny_dataset_dir(tmp_path):
     conf = Config(data_dir=str(tmp_path), sample_rate=44100)

@@ -144,6 +144,24 @@ def test_hopblocked_matches_framed_path():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_mss_loss_dict_inputs():
+    """Reference MSSLoss dict convention: pred['audio_reverb'|'audio_synth'],
+    true['audio'] (loss/mss_loss.py:49-62)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    wet = jnp.asarray(0.1 * rng.standard_normal((2, 4096)), jnp.float32)
+    dry = jnp.asarray(0.1 * rng.standard_normal((2, 4096)), jnp.float32)
+    true = jnp.asarray(0.1 * rng.standard_normal((2, 4096)), jnp.float32)
+    pred = {"audio_reverb": wet, "audio_synth": dry}
+    ffts = (512, 256)
+    got_wet = float(mss_loss(pred, {"audio": true}, ffts=ffts))
+    got_dry = float(mss_loss(pred, true, ffts=ffts, use_reverb=False))
+    assert got_wet == float(mss_loss(wet, true, ffts=ffts))
+    assert got_dry == float(mss_loss(dry, true, ffts=ffts))
+    assert got_wet != got_dry
+
+
 def test_cached_target_loss_matches_uncached():
     """mss_loss_per_scale_cached(target_spectrograms(x)) == mss_loss_per_scale."""
     import jax.numpy as jnp
