@@ -55,21 +55,28 @@ def time_sharding(mesh: Mesh, axis: int = 1) -> NamedSharding:
 
 def initialize_distributed(coordinator: Optional[str] = None,
                            num_processes: Optional[int] = None,
-                           process_id: Optional[int] = None) -> None:
+                           process_id: Optional[int] = None,
+                           **kwargs) -> None:
     """Multi-host bring-up: heartbeat/failure detection via jax.distributed.
 
     On TPU pods JAX discovers the topology from the environment; arguments
     are only needed for manual (e.g. CPU fake multi-host) launches.  A host
-    that dies takes the job fail-stop; restart resumes from the latest Orbax
-    checkpoint (training/trainer.py), the standard SPMD recovery model.
+    that dies takes the job fail-stop — the coordination service's heartbeat
+    (tunable via ``heartbeat_timeout_seconds``) detects the dead peer and
+    poisons the run; restart resumes from the latest Orbax checkpoint
+    (training/trainer.py), the standard SPMD recovery model.  Exercised for
+    real (2 OS processes over localhost) in tests/test_multihost.py.
     """
-    if jax.process_count() > 1:
+    # NB: must not touch jax.process_count() here -- that would instantiate
+    # the backend before the distributed client, pinning a 1-process view.
+    if jax.distributed.is_initialized():
         return  # already initialized by the launcher
     if coordinator is not None:
-        jax.distributed.initialize(coordinator, num_processes, process_id)
+        jax.distributed.initialize(coordinator, num_processes, process_id,
+                                   **kwargs)
     elif num_processes is not None and num_processes > 1:
         jax.distributed.initialize(
-            "127.0.0.1:12321", num_processes, process_id or 0
+            "127.0.0.1:12321", num_processes, process_id or 0, **kwargs
         )
 
 

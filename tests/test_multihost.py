@@ -1,0 +1,106 @@
+"""Real multi-process (fake multi-host) distributed tests.
+
+Two OS processes rendezvous via jax.distributed over localhost and train
+data-parallel over a global 4-device mesh — the cross-process gradient
+all-reduce exercises the same code path a multi-host TPU job runs over DCN
+(SURVEY.md §5 'Distributed communication backend' / 'Failure detection').
+The kill-a-host case asserts fail-stop *detection*: the surviving process
+must error out promptly, not hang.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _launch(mode: str, tmp_path, timeout=300):
+    """Run a 2-process job; returns [(returncode, result_dict|None), ...]."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+        + env.get("PYTHONPATH", "").split(os.pathsep)
+    )
+    # The workers set their own device count; drop pytest's conftest flags.
+    env.pop("XLA_FLAGS", None)
+    procs, outs = [], []
+    for pid in range(2):
+        out = tmp_path / f"worker{pid}_{mode}.json"
+        outs.append(out)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, WORKER, str(pid), "2", str(port), str(out), mode],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+            )
+        )
+    results = []
+    for p, out in zip(procs, outs):
+        try:
+            stdout, _ = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        data = json.loads(out.read_text()) if out.exists() else None
+        results.append((p.returncode, data, stdout.decode(errors="replace")))
+    return results
+
+
+def test_two_process_dp_matches_single(tmp_path):
+    """Cross-process DP losses == single-process oracle; replicas agree."""
+    results = _launch("normal", tmp_path)
+    for rc, data, log in results:
+        assert rc == 0, f"worker failed rc={rc}\n{log[-2000:]}"
+        assert data and "losses" in data, (data, log[-2000:])
+    (rc0, d0, _), (rc1, d1, _) = results
+    assert d0["process_count"] == 2 and d0["global_devices"] == 4
+    assert d0["local_devices"] == 2
+    np.testing.assert_allclose(d0["losses"], d1["losses"], rtol=1e-6)
+    np.testing.assert_allclose(d0["checksum"], d1["checksum"], rtol=1e-6)
+
+    # Single-process oracle: same config, batch, and seed in this process.
+    import jax
+
+    from ddsp_tpu.config import Config
+    from ddsp_tpu.training.trainer import init_state, make_train_step
+    from tests.multihost_worker import CONF_KWARGS, NUM_STEPS, make_batch
+
+    conf = Config(**CONF_KWARGS)
+    batch = {k: jax.numpy.asarray(v) for k, v in make_batch(conf).items()}
+    state = init_state(jax.random.PRNGKey(0), conf)
+    step = jax.jit(make_train_step(conf))
+    want = []
+    for _ in range(NUM_STEPS):
+        state, metrics = step(state, batch)
+        want.append(float(metrics["loss"]))
+    np.testing.assert_allclose(d0["losses"], want, rtol=1e-3, atol=1e-3)
+
+
+def test_kill_a_host_is_detected(tmp_path):
+    """Process 1 dies mid-run; process 0 must fail-stop, not hang."""
+    results = _launch("crash", tmp_path)
+    rc1, d1, _ = results[1]
+    assert rc1 == 17  # simulated host death happened as scripted
+
+    rc0, d0, log0 = results[0]
+    hang = d0 is not None and "watchdog" in str(d0.get("error", ""))
+    assert not hang, f"survivor hung instead of detecting the dead peer\n{log0[-2000:]}"
+    # Detection surfaces either as a Python error in the step (worker wrote
+    # detected_failure) or as a fatal distributed-runtime abort (rc != 0).
+    detected = (d0 is not None and "detected_failure" in d0) or rc0 != 0
+    assert detected, f"rc0={rc0} data={d0}\n{log0[-2000:]}"
