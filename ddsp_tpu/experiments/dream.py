@@ -75,3 +75,32 @@ def dream_file(
     out = dreamed.reshape(-1)
     write_wav(out_path, out / max(1e-6, np.abs(out).max()) * 0.9, sample_rate)
     return value
+
+
+def main(argv=None) -> None:
+    """CLI: python -m ddsp_tpu.experiments.dream crepe.pth in.wav out.wav
+    [layer] [iterations] [lr] -- the reference's trajectory.py:44-82 loop
+    with its defaults (layer 5, 20 iterations, lr 10)."""
+    import sys
+
+    from ddsp_tpu.models.crepe import load_torch_checkpoint
+
+    args = sys.argv[1:] if argv is None else argv
+    if len(args) < 3:
+        raise SystemExit(
+            "usage: dream <crepe.pth> <in.wav> <out.wav> [layer] [iters] [lr]"
+        )
+    crepe_params = load_torch_checkpoint(args[0])
+    value = dream_file(
+        crepe_params,
+        args[1],
+        args[2],
+        layer_index=int(args[3]) if len(args) > 3 else 5,
+        iterations=int(args[4]) if len(args) > 4 else 20,
+        lr=float(args[5]) if len(args) > 5 else 10.0,
+    )
+    print(f"done: final activation norm {value:.3f}")
+
+
+if __name__ == "__main__":
+    main()

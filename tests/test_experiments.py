@@ -73,3 +73,25 @@ def test_dream_increases_activation():
     assert after > before
     assert dreamed.shape == (1, 1024)
     assert np.isfinite(dreamed).all()
+
+
+def test_dream_cli(tmp_path):
+    """python -m ddsp_tpu.experiments.dream CLI (reference trajectory.py:44)."""
+    import os
+
+    from ddsp_tpu.data.audio_io import read_wav, write_wav
+    from ddsp_tpu.experiments.dream import main
+
+    tiny = "/root/reference/crepe/pretrained/tiny.pth"
+    if not os.path.exists(tiny):
+        import pytest
+
+        pytest.skip("tiny.pth not available")
+    rng = np.random.default_rng(2)
+    in_wav = str(tmp_path / "in.wav")
+    out_wav = str(tmp_path / "out.wav")
+    write_wav(in_wav, (0.1 * rng.standard_normal(3 * 1024)).astype(np.float32), 16000)
+    main([tiny, in_wav, out_wav, "4", "3", "1.0"])
+    out, sr = read_wav(out_wav)
+    assert sr == 16000 and out.shape[-1] == 3 * 1024
+    assert np.isfinite(out).all() and np.abs(out).max() <= 1.0
