@@ -24,6 +24,48 @@ except Exception:  # pragma: no cover - optional dependency
     HAS_STREAMLIT = False
 
 
+def normalize_audio(x: np.ndarray) -> np.ndarray:
+    """Remove DC offset and peak-normalize (reference helper.py:14-20).
+
+    Silence-safe: the reference divides by a possibly-zero peak; here a
+    zero-peak signal is returned unchanged (still DC-free).
+    """
+    x = x - x.mean()
+    peak = np.max(np.abs(x))
+    return x / peak if peak > 0 else x
+
+
+def trim_to_times(
+    audio: np.ndarray,
+    spec: np.ndarray,
+    sample_rate: int,
+    hop: int,
+    start_time: float,
+    end_time: float,
+):
+    """Trim a waveform and its (bins, frames) spectrogram to [start, end] s.
+
+    Matches the reference's slider-trim path (helper.py:47-59):
+    sample indices are ``time * sample_rate`` and frame indices are
+    ``floor(time * sample_rate / hop)`` (librosa ``time_to_frames``).
+    Returns (trimmed_audio, trimmed_spec).
+    """
+    start = int(start_time * sample_rate)
+    end = int(end_time * sample_rate)
+    start_frame = int(np.floor(start_time * sample_rate / hop))
+    end_frame = int(np.floor(end_time * sample_rate / hop))
+    return audio[start:end], spec[:, start_frame:end_frame]
+
+
+def spectrogram_image(spec: np.ndarray) -> np.ndarray:
+    """Min-max-normalized, low-frequency-at-bottom image of a (bins, frames)
+    spectrogram, as the reference displays it (helper.py:60-63)."""
+    img = np.flip(spec, axis=0).astype(np.float32)
+    img = img - img.min()
+    peak = img.max()
+    return img / peak if peak > 0 else img
+
+
 def spectrogram_figure(spec: np.ndarray, sample_rate: int, hop: int):
     """Log-spectrogram display figure (reference helper.py:50-65)."""
     import matplotlib
@@ -66,21 +108,30 @@ def main() -> None:  # pragma: no cover - interactive UI
         hop = int(st.number_input("hop length", value=n_fft // 4))
         gl_iters = int(st.number_input("Griffin-Lim iterations", value=64, step=16))
 
-    content_file = st.file_uploader("content audio (wav)", type=["wav"])
-    style_file = st.file_uploader("style audio (wav)", type=["wav"])
-
-    if content_file and style_file and st.button("start"):
+    # Uploaders + trim sliders appear before the start button, as in the
+    # reference's prepare_inputs (film_ui.py:28-33, helper.py:40-65).
+    def prepare_inputs(name):
         import tempfile
 
-        def load(upload):
-            with tempfile.NamedTemporaryFile(suffix=".wav") as f:
-                f.write(upload.read())
-                f.flush()
-                audio, sr = read_wav(f.name)
-            return audio.mean(0) if audio.shape[0] > 1 else audio[0], sr
+        upload = st.file_uploader(f"{name} audio (wav)", type=["wav"])
+        if upload is None:
+            return None, None
+        with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+            f.write(upload.read())
+            f.flush()
+            audio, sr = read_wav(f.name)
+        mono = audio.mean(0) if audio.shape[0] > 1 else audio[0]
+        mono = normalize_audio(np.asarray(mono))
+        duration = len(mono) / sr
+        t0 = st.slider(f"{name} start [s]", 0.0, duration, 0.0)
+        t1 = st.slider(f"{name} end [s]", t0, duration, duration)
+        mono = mono[int(t0 * sr) : int(t1 * sr)]
+        return mono, sr
 
-        content, sr = load(content_file)
-        style, _ = load(style_file)
+    content, sr = prepare_inputs("content")
+    style, style_sr = prepare_inputs("style")
+
+    if content is not None and style is not None and st.button("start"):
         conf = StyleTransferConfig(
             n_fft=n_fft, hop=hop, kernel_size=kernel, n_features=n_features,
             content_weight=alpha, style_weight=beta, n_steps=n_steps,

@@ -95,3 +95,34 @@ def test_dream_cli(tmp_path):
     out, sr = read_wav(out_wav)
     assert sr == 16000 and out.shape[-1] == 3 * 1024
     assert np.isfinite(out).all() and np.abs(out).max() <= 1.0
+
+
+def test_ui_helpers():
+    """normalize_audio / trim_to_times / spectrogram_image (helper.py:14-63)."""
+    from ddsp_tpu.experiments.ui import (
+        normalize_audio,
+        spectrogram_image,
+        trim_to_times,
+    )
+
+    rng = np.random.default_rng(3)
+    x = (0.25 * rng.standard_normal(8000) + 0.5).astype(np.float32)
+    y = normalize_audio(x)
+    assert abs(y.mean()) < 1e-6  # DC removed
+    assert np.isclose(np.abs(y).max(), 1.0)  # peak-normalized
+    # Silence-safe: constant (pure-DC) input maps to zeros, not NaN/Inf.
+    # (0.5 is exactly representable so the float32 mean is exact.)
+    z = normalize_audio(np.full(100, 0.5, np.float32))
+    assert np.allclose(z, 0.0)
+
+    sr, hop = 8000, 256
+    spec = rng.standard_normal((129, len(x) // hop)).astype(np.float32)
+    a, s = trim_to_times(x, spec, sr, hop, 0.25, 0.75)
+    assert a.shape == (int(0.5 * sr),)
+    # frame indices floor(time*sr/hop), matching librosa.time_to_frames
+    assert s.shape == (129, int(0.75 * sr / hop) - int(0.25 * sr / hop))
+
+    img = spectrogram_image(spec)
+    assert img.min() == 0.0 and img.max() == 1.0
+    # low frequencies end up at the bottom row (reference flips axis 0)
+    assert np.allclose(img[-1], (spec[0] - spec.min()) / (spec.max() - spec.min()))

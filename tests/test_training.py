@@ -237,3 +237,19 @@ def test_torch_decoder_import(reference_path, tmp_path):
     # imported decoder renders finite audio end to end
     audio = decoder_apply(params, batch_np, conf, jax.random.PRNGKey(0))
     assert np.all(np.isfinite(np.asarray(audio)))
+
+
+def test_find_latest_lightning_checkpoint(tmp_path):
+    """Newest .ckpt by parsed epoch (reference rt/utils.py:8-16)."""
+    import pytest
+
+    from ddsp_tpu.models.torch_import import find_latest_lightning_checkpoint
+
+    ckpts = tmp_path / "version_7" / "checkpoints"
+    ckpts.mkdir(parents=True)
+    for name in ["epoch=3-step=100.ckpt", "epoch=12-step=400.ckpt", "last.ckpt"]:
+        (ckpts / name).touch()
+    best = find_latest_lightning_checkpoint(str(tmp_path), 7)
+    assert best.endswith("epoch=12-step=400.ckpt")
+    with pytest.raises(FileNotFoundError):
+        find_latest_lightning_checkpoint(str(tmp_path), 8)
