@@ -108,28 +108,59 @@ def main() -> None:  # pragma: no cover - interactive UI
         hop = int(st.number_input("hop length", value=n_fft // 4))
         gl_iters = int(st.number_input("Griffin-Lim iterations", value=64, step=16))
 
-    # Uploaders + trim sliders appear before the start button, as in the
-    # reference's prepare_inputs (film_ui.py:28-33, helper.py:40-65).
-    def prepare_inputs(name):
+    # Decode + normalize once per uploaded file, not on every slider rerun.
+    @st.cache_data(show_spinner=False)
+    def load_wav_bytes(data: bytes):
         import tempfile
 
-        upload = st.file_uploader(f"{name} audio (wav)", type=["wav"])
-        if upload is None:
-            return None, None
         with tempfile.NamedTemporaryFile(suffix=".wav") as f:
-            f.write(upload.read())
+            f.write(data)
             f.flush()
             audio, sr = read_wav(f.name)
         mono = audio.mean(0) if audio.shape[0] > 1 else audio[0]
-        mono = normalize_audio(np.asarray(mono))
-        duration = len(mono) / sr
+        return normalize_audio(np.asarray(mono)), sr
+
+    # Uploaders + trim sliders appear before the start button, as in the
+    # reference's prepare_inputs (film_ui.py:28-33, helper.py:40-65).
+    def prepare_inputs(name):
+        upload = st.file_uploader(f"{name} audio (wav)", type=["wav"])
+        if upload is None:
+            return None, None
+        mono, file_sr = load_wav_bytes(upload.getvalue())
+        duration = len(mono) / file_sr
+        if duration <= 0:
+            st.warning(f"{name}: empty audio file")
+            return None, None
         t0 = st.slider(f"{name} start [s]", 0.0, duration, 0.0)
         t1 = st.slider(f"{name} end [s]", t0, duration, duration)
-        mono = mono[int(t0 * sr) : int(t1 * sr)]
-        return mono, sr
+        spec = np.asarray(
+            log_spectrogram(
+                jnp.asarray(mono),
+                StyleTransferConfig(n_fft=n_fft, hop=hop, sample_rate=file_sr),
+            )
+        )
+        mono, spec = trim_to_times(mono, spec, file_sr, hop, t0, t1)
+        if len(mono) < n_fft or spec.shape[1] == 0:
+            st.warning(f"{name}: selection too short (needs >= {n_fft} samples)")
+            return None, None
+        # Trimmed previews, as the reference shows them (helper.py:56-63).
+        st.audio(np.clip(mono, -1.0, 1.0), sample_rate=file_sr)
+        st.image(
+            spectrogram_image(spec),
+            caption=f"trimmed {name} spectrogram",
+            use_container_width=True,
+        )
+        return mono, file_sr
 
     content, sr = prepare_inputs("content")
     style, style_sr = prepare_inputs("style")
+    if style is not None and sr is not None and style_sr != sr:
+        # The reference decodes both files at one rate (helper.py:24,
+        # librosa.load(sr=...)); here the style file is resampled to the
+        # content file's rate instead of being silently mis-mapped.
+        from ddsp_tpu.ops.resample import resample
+
+        style = np.asarray(resample(jnp.asarray(style)[None], style_sr, sr)[0])
 
     if content is not None and style is not None and st.button("start"):
         conf = StyleTransferConfig(
