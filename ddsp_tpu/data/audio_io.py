@@ -30,6 +30,7 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
         )
     pos = 12
     fmt = None
+    fmt_body = b""
     raw = None
     while pos + 8 <= len(data):
         chunk_id = data[pos : pos + 4]
@@ -37,14 +38,23 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
         body = data[pos + 8 : pos + 8 + size]
         if chunk_id == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif chunk_id == b"data":
             raw = body
         pos += 8 + size + (size & 1)
     if fmt is None or raw is None:
         raise UnsupportedAudioFormat(f"{path}: missing fmt/data chunk")
     audio_format, n_channels, sample_rate, _, _, bits = fmt
-    if audio_format == 0xFFFE and len(raw) >= 0:  # WAVE_FORMAT_EXTENSIBLE
-        audio_format = 1 if bits != 32 else 3  # best effort: PCM / float
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+        # The real format tag is the first 2 bytes of the SubFormat GUID in
+        # the fmt extension: 16 base bytes + cbSize(2) + valid-bits(2) +
+        # channel-mask(4), GUID at offset 24.
+        if len(fmt_body) >= 26:
+            audio_format = struct.unpack("<H", fmt_body[24:26])[0]
+        else:
+            raise UnsupportedAudioFormat(
+                f"{path}: WAVE_FORMAT_EXTENSIBLE with truncated fmt extension"
+            )
     if audio_format == 1:  # integer PCM
         if bits == 8:
             x = data_to_float(np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0, 127.0)

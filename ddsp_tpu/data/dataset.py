@@ -31,15 +31,30 @@ from ddsp_tpu.models.encoder import encoder_apply
 from ddsp_tpu.ops.resample import resample
 
 
-def _cache_tag(conf: Config, files) -> str:
+def _cache_tag(conf: Config, files, extra: Optional[Dict] = None) -> str:
     """Hash of the ingest-relevant config + file list + mtimes."""
     payload = {
         "sample_rate": conf.sample_rate,
         "example_length": conf.example_length,
         "example_step": conf.example_step,
+        "hop_length": conf.hop_length,  # affects pad-to-hop-multiple
         "files": [(f, os.path.getmtime(f)) for f in sorted(files)],
     }
+    if extra:
+        payload.update(extra)
     return hashlib.sha1(json.dumps(payload, sort_keys=True).encode()).hexdigest()[:16]
+
+
+def _params_digest(params) -> str:
+    """Content hash of a parameter pytree (so caches of features computed
+    with different CREPE weights cannot be confused)."""
+    h = hashlib.sha1()
+    for leaf in jax.tree_util.tree_leaves(params):
+        arr = np.asarray(leaf)
+        h.update(str(arr.shape).encode())
+        h.update(str(arr.dtype).encode())
+        h.update(arr.tobytes())
+    return h.hexdigest()[:16]
 
 
 def list_audio_files(data_dir: str):
@@ -115,9 +130,21 @@ def extract_features(
     {f0, harmonicity, loudness, probabilities, normalized_cents, audio}.
     """
     files = list_audio_files(conf.data_dir) if examples is None else []
+    tag = _cache_tag(
+        conf,
+        files,
+        extra={
+            # Everything the extracted features depend on beyond the audio:
+            # the loudness/CREPE analysis geometry and the CREPE weights.
+            "n_fft": conf.n_fft,
+            "crepe_window": conf.crepe_window,
+            "crepe_sample_rate": conf.crepe_sample_rate,
+            "crepe_capacity": conf.crepe_capacity,
+            "crepe_weights": _params_digest(crepe_params),
+        },
+    )
     cache = os.path.join(
-        conf.data_dir,
-        f"features_{conf.crepe_capacity}_{_cache_tag(conf, files)}.npz",
+        conf.data_dir, f"features_{conf.crepe_capacity}_{tag}.npz"
     )
     if examples is None and os.path.exists(cache) and not clear:
         return dict(np.load(cache))

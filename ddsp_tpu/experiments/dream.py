@@ -9,7 +9,7 @@ ascent loop is a jitted ``jax.grad`` step -- no hooks, no mutable state.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -21,47 +21,62 @@ from ddsp_tpu.models.crepe import WINDOW_SIZE, crepe_activation
 def dream(
     crepe_params: Dict,
     audio: jnp.ndarray,
-    layer_index: int = 5,
+    layer_index: int = 2,
     iterations: int = 20,
     lr: float = 10.0,
-    normalize_gradient: bool = True,
 ) -> Tuple[np.ndarray, float]:
-    """Ascend ||activation(layer)|| w.r.t. (B, 1024)-windowed audio.
+    """Gradient-ascend ||activation(layer)|| w.r.t. (B, length) audio.
 
-    Returns (dreamed audio, final activation norm).  Matches the reference
-    loop (trajectory.py:55-67): grad of the L2 norm of the chosen layer's
-    activations, normalized gradient steps.
+    Matches the reference loop exactly (trajectory.py:49-67): the audio is
+    mean/std-normalized before the loop (torch ``.std()`` is unbiased,
+    ddof=1), each step adds ``lr * grad`` raw (no gradient normalization),
+    and the result is un-normalized and clipped to [-1, 1].  The objective
+    is the L2 norm of the first batch row's activations
+    (``hook.output[0].norm()``, trajectory.py:39).
+
+    ``layer_index`` counts conv *stages* (0-based, pad->conv->relu->BN->pool);
+    the reference's default hook target ``list(net.modules())[5]`` is conv3,
+    i.e. stage index 2 here (hence the default).  The conv stack is fully
+    convolutional, so any length >= 1024 works -- the reference likewise
+    feeds the whole file at once, not 1024-sample windows.
+
+    Returns (dreamed audio, final activation norm).
     """
     if audio.ndim == 1:
         audio = audio[None]
-    assert audio.shape[-1] == WINDOW_SIZE, "CREPE dreams over 1024-sample windows"
+    x = jnp.asarray(audio, jnp.float32)
+    mean = x.mean(axis=1, keepdims=True)
+    std = x.std(axis=1, keepdims=True, ddof=1)
+    x = (x - mean) / std
 
     def objective(x):
         act = crepe_activation(crepe_params, x, layer_index)
-        return jnp.linalg.norm(act)
+        return jnp.linalg.norm(act[0])
 
     grad_fn = jax.jit(jax.value_and_grad(objective))
 
-    x = jnp.asarray(audio, jnp.float32)
     value = 0.0
     for _ in range(iterations):
         value, g = grad_fn(x)
-        if normalize_gradient:
-            g = g / (jnp.linalg.norm(g) + 1e-12)
         x = x + lr * g
-    return np.asarray(x), float(value)
+    out = np.clip(np.asarray(x * std + mean), -1.0, 1.0)
+    return out, float(value)
 
 
 def dream_file(
     crepe_params: Dict,
     in_path: str,
     out_path: str,
-    layer_index: int = 5,
+    layer_index: int = 2,
     iterations: int = 20,
     lr: float = 10.0,
     sample_rate: int = 16000,
 ) -> float:
-    """File-to-file dreaming over consecutive 1024-sample windows."""
+    """File-to-file dreaming over the whole (truncated) signal at once.
+
+    Mirrors the reference main() (trajectory.py:44-76): load at 16 kHz,
+    truncate to a multiple of 2048 samples, dream, write the clipped result.
+    """
     from ddsp_tpu.data.audio_io import read_wav, write_wav
     from ddsp_tpu.ops.resample import resample
 
@@ -69,18 +84,21 @@ def dream_file(
     mono = audio.mean(0) if audio.shape[0] > 1 else audio[0]
     if sr != sample_rate:
         mono = np.asarray(resample(jnp.asarray(mono), sr, sample_rate))
-    n = len(mono) // WINDOW_SIZE
-    windows = mono[: n * WINDOW_SIZE].reshape(n, WINDOW_SIZE)
-    dreamed, value = dream(crepe_params, jnp.asarray(windows), layer_index, iterations, lr)
-    out = dreamed.reshape(-1)
-    write_wav(out_path, out / max(1e-6, np.abs(out).max()) * 0.9, sample_rate)
+    mono = mono[: len(mono) - (len(mono) % 2048)]
+    if len(mono) < WINDOW_SIZE:
+        raise ValueError(f"{in_path}: need >= 2048 samples at {sample_rate} Hz")
+    dreamed, value = dream(
+        crepe_params, jnp.asarray(mono)[None], layer_index, iterations, lr
+    )
+    write_wav(out_path, dreamed[0], sample_rate)
     return value
 
 
 def main(argv=None) -> None:
     """CLI: python -m ddsp_tpu.experiments.dream crepe.pth in.wav out.wav
     [layer] [iterations] [lr] -- the reference's trajectory.py:44-82 loop
-    with its defaults (layer 5, 20 iterations, lr 10)."""
+    with its defaults (20 iterations, lr 10; layer = conv stage 2, the
+    stage the reference's modules()[5] hook lands on)."""
     import sys
 
     from ddsp_tpu.models.crepe import load_torch_checkpoint
@@ -95,7 +113,7 @@ def main(argv=None) -> None:
         crepe_params,
         args[1],
         args[2],
-        layer_index=int(args[3]) if len(args) > 3 else 5,
+        layer_index=int(args[3]) if len(args) > 3 else 2,
         iterations=int(args[4]) if len(args) > 4 else 20,
         lr=float(args[5]) if len(args) > 5 else 10.0,
     )

@@ -83,9 +83,11 @@ def oscillator_live(
     """
     pad = lambda x, p, n: jnp.concatenate([p, x, n], axis=1)
     if context is None:
-        f0p = pad(controls["f0"], controls["f0"][:, :1], controls["f0"][:, -1:])
-        cp = pad(controls["c"], controls["c"][:, :1], controls["c"][:, -1:])
-        ap = pad(controls["a"], controls["a"][:, :1], controls["a"][:, -1:])
+        from ddsp_tpu.ops.interp import edge_pad_frames
+
+        f0p = edge_pad_frames(controls["f0"])
+        cp = edge_pad_frames(controls["c"])
+        ap = edge_pad_frames(controls["a"])
     else:
         f0p = pad(controls["f0"], context["prev"]["f0"], context["next"]["f0"])
         cp = pad(controls["c"], context["prev"]["c"], context["next"]["c"])

@@ -135,12 +135,21 @@ def _split_factors(n: int) -> Tuple[int, int]:
     return best
 
 
-def _cmatmul(ar, ai, br, bi):
-    """(ar+i ai) @ (br+i bi) as four real matmuls."""
+def _cmatmul(ar, ai, br, bi, matmul_dtype=None):
+    """(ar+i ai) @ (br+i bi) as four real matmuls.
+
+    ``matmul_dtype`` casts the matmul inputs while accumulating in float32
+    (same contract as rfft_pair's parameter).
+    """
+    if matmul_dtype is not None:
+        mm = functools.partial(jnp.matmul, preferred_element_type=jnp.float32)
+        ar, ai = ar.astype(matmul_dtype), ai.astype(matmul_dtype)
+        br, bi = br.astype(matmul_dtype), bi.astype(matmul_dtype)
+        return mm(ar, br) - mm(ai, bi), mm(ar, bi) + mm(ai, br)
     return _mm(ar, br) - _mm(ai, bi), _mm(ar, bi) + _mm(ai, br)
 
 
-def _fft_ct(xr: jnp.ndarray, xi: jnp.ndarray, n: int):
+def _fft_ct(xr: jnp.ndarray, xi: jnp.ndarray, n: int, matmul_dtype=None):
     """Four-step Cooley-Tukey complex FFT over the last axis."""
     n1, n2 = _split_factors(n)
     lead = xr.shape[:-1]
@@ -148,23 +157,39 @@ def _fft_ct(xr: jnp.ndarray, xi: jnp.ndarray, n: int):
     ai = xi.reshape(*lead, n1, n2)
     # Step 1: DFT over n1 (the slow axis): B[k1, n2] = sum_n1 A[n1, n2] W^{n1 k1}
     d1r, d1i = (jnp.asarray(m) for m in _dft_mats(n1))
-    ein = functools.partial(jnp.einsum, "...nm,nk->...km", precision=_PRECISION)
+    if matmul_dtype is not None:
+        ar, ai = ar.astype(matmul_dtype), ai.astype(matmul_dtype)
+        d1r, d1i = d1r.astype(matmul_dtype), d1i.astype(matmul_dtype)
+        mmfn = functools.partial(jnp.matmul, preferred_element_type=jnp.float32)
+    else:
+        mmfn = _mm
+
+    def ein(a, d):
+        # einsum("...nm,nk->...km") as a last-axis matmul (the einsum form
+        # lowers to a batched-dot thunk CPU XLA cannot run for bf16->f32;
+        # the transposes fuse away)
+        return jnp.swapaxes(mmfn(jnp.swapaxes(a, -1, -2), d), -1, -2)
+
     br = ein(ar, d1r) - ein(ai, d1i)
     bi = ein(ar, d1i) + ein(ai, d1r)
-    # Step 2: twiddle by W_N^{k1 n2}
+    # Step 2: twiddle by W_N^{k1 n2} (elementwise, stays float32)
     tr, ti = (jnp.asarray(m) for m in _twiddle(n1, n2))
     cr = br * tr - bi * ti
     ci = br * ti + bi * tr
     # Step 3: DFT over n2: X[k1, k2] = sum_n2 C[k1, n2] W_{n2}^{n2 k2}
     d2r, d2i = (jnp.asarray(m) for m in _dft_mats(n2))
-    er, ei = _cmatmul(cr, ci, jnp.asarray(d2r), jnp.asarray(d2i))
+    er, ei = _cmatmul(
+        cr, ci, jnp.asarray(d2r), jnp.asarray(d2i), matmul_dtype
+    )
     # X[k1 + n1 k2] = E[k1, k2] -> transpose to (k2, k1) then flatten
     er = jnp.swapaxes(er, -1, -2).reshape(*lead, n)
     ei = jnp.swapaxes(ei, -1, -2).reshape(*lead, n)
     return er, ei
 
 
-def fft_pair(xr: jnp.ndarray, xi: Optional[jnp.ndarray], n: int):
+def fft_pair(
+    xr: jnp.ndarray, xi: Optional[jnp.ndarray], n: int, matmul_dtype=None
+):
     """Complex FFT (re, im) over the last axis, zero-padding to n."""
     if xr.shape[-1] < n:
         pad = [(0, 0)] * (xr.ndim - 1) + [(0, n - xr.shape[-1])]
@@ -174,8 +199,8 @@ def fft_pair(xr: jnp.ndarray, xi: Optional[jnp.ndarray], n: int):
         xi = jnp.zeros_like(xr)
     if n <= DIRECT_MAX:
         dr, di = (jnp.asarray(m) for m in _dft_mats(n))
-        return _cmatmul(xr, xi, dr, di)
-    return _fft_ct(xr, xi, n)
+        return _cmatmul(xr, xi, dr, di, matmul_dtype)
+    return _fft_ct(xr, xi, n, matmul_dtype)
 
 
 def rfft_pair(x: jnp.ndarray, n: Optional[int] = None, matmul_dtype=None):
@@ -200,7 +225,7 @@ def rfft_pair(x: jnp.ndarray, n: Optional[int] = None, matmul_dtype=None):
             )
             return mm(x, cos), mm(x, sin)
         return _mm(x, cos), _mm(x, sin)
-    re, im = fft_pair(x, None, n)
+    re, im = fft_pair(x, None, n, matmul_dtype)
     return re[..., : n // 2 + 1], im[..., : n // 2 + 1]
 
 

@@ -10,7 +10,8 @@ Behavioral parity targets (reference: model/ddsp/filtered_noise.py:7-32):
   the inverse FFT kept), i.e. causal linear convolution
   ``y[n] = sum_k kernel[k] * signal[n-k]`` truncated to the signal length.
 
-Pure jnp; FFTs lower to XLA's TPU FFT.  Uniform noise generation is keyed by
+Pure jnp; every FFT runs through the matmul-DFT layer (ddsp_tpu/ops/fft.py)
+-- this TPU backend exposes NO XLA FFT.  Uniform noise generation is keyed by
 absolute frame index so streaming block renders are bit-identical to offline
 renders (the reference uses ``torch.rand`` and cannot reproduce this).
 """

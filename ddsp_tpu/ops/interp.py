@@ -53,9 +53,13 @@ def hop_weight_cumsum(hop: int) -> np.ndarray:
     return np.cumsum(hop_weights(hop), axis=0).astype(np.float32)
 
 
-def _edge_pad_frames(x: jnp.ndarray) -> jnp.ndarray:
-    """Pad the time (second-to-last... here axis=1) axis by one frame each side."""
+def edge_pad_frames(x: jnp.ndarray) -> jnp.ndarray:
+    """Replicate one frame of context on each side of the time axis (axis=1).
+
+    The single home of the interpolation edge-clamp convention (shared by
+    the oscillator render paths, TP sharding, and streaming)."""
     return jnp.concatenate([x[:, :1], x, x[:, -1:]], axis=1)
+
 
 
 def upsample_linear(x: jnp.ndarray, hop: int) -> jnp.ndarray:
@@ -71,7 +75,7 @@ def upsample_linear(x: jnp.ndarray, hop: int) -> jnp.ndarray:
       of the reference (model/ddsp/harmonic_oscillator.py:52-55).
     """
     b, t, c = x.shape
-    xp = _edge_pad_frames(x)  # (B, T+2, C)
+    xp = edge_pad_frames(x)  # (B, T+2, C)
     w = jnp.asarray(hop_weights(hop))  # (hop, 3)
     # windows[:, t] = frames (t-1, t, t+1) -> stack 3 shifted views
     left = xp[:, :-2]  # frame t-1  (B, T, C)

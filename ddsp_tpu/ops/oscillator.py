@@ -292,7 +292,8 @@ def oscillator_bank(
       reference ``OscillatorBank.forward`` (harmonic_oscillator.py:57-62)
       with edge-replicated interpolation context.
     """
-    pad = lambda x: jnp.concatenate([x[:, :1], x, x[:, -1:]], axis=1)
+    from ddsp_tpu.ops.interp import edge_pad_frames as pad
+
     return render_padded(
         pad(f0),
         pad(harm_amps),

@@ -610,7 +610,8 @@ def oscillator_bank_pallas(
         nyquist_normalized_amps,
     )
 
-    pad = lambda x: jnp.concatenate([x[:, :1], x, x[:, -1:]], axis=1)
+    from ddsp_tpu.ops.interp import edge_pad_frames as pad
+
     f0_pad, amps_pad, loud_pad = pad(f0), pad(harm_amps), pad(loudness)
     b = f0.shape[0]
     if initial_phase is None:

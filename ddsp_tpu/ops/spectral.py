@@ -9,8 +9,9 @@ Behavioral parity targets:
   loudness encoder (reference: model/autoencoder/encoder.py:141-148).
 * librosa ``A_weighting`` curve (reference: encoder.py:137-139).
 
-Framing is a strided gather; FFTs lower to XLA TPU FFT.  All functions are
-pure and differentiable.
+Framing is a strided gather; all spectra run through the matmul-DFT layer
+(ddsp_tpu/ops/fft.py) -- this TPU backend exposes NO XLA FFT, never call
+jnp.fft.* in device code.  All functions are pure and differentiable.
 """
 
 from __future__ import annotations

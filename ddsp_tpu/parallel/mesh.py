@@ -23,18 +23,26 @@ def make_mesh(
     n_data: Optional[int] = None,
     n_time: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
+    axis_names: Sequence[str] = (DATA_AXIS, TIME_AXIS),
 ) -> Mesh:
-    """Build a ('data', 'time') mesh over the available devices."""
+    """Build a 2-axis mesh over the available devices.
+
+    Defaults to ('data', 'time'); the DPxTP path reuses this with
+    ('data', 'model') (parallel/tp.make_dp_tp_mesh).
+    """
     devices = list(devices if devices is not None else jax.devices())
+    second = axis_names[1]
     if n_data is None:
         if len(devices) % n_time:
-            raise ValueError(f"{len(devices)} devices not divisible by n_time={n_time}")
+            raise ValueError(
+                f"{len(devices)} devices not divisible by n_{second}={n_time}"
+            )
         n_data = len(devices) // n_time
     needed = n_data * n_time
     if needed > len(devices):
         raise ValueError(f"mesh {n_data}x{n_time} needs {needed} devices, have {len(devices)}")
     grid = np.asarray(devices[:needed]).reshape(n_data, n_time)
-    return Mesh(grid, (DATA_AXIS, TIME_AXIS))
+    return Mesh(grid, tuple(axis_names))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -36,7 +36,7 @@ from ddsp_tpu.config import Config
 from ddsp_tpu.models.synths import reverb_impulse
 from ddsp_tpu.ops.fir import fft_convolve, filtered_noise
 from ddsp_tpu.ops.interp import hop_weight_cumsum
-from ddsp_tpu.ops.oscillator import nyquist_normalized_amps, render_padded
+from ddsp_tpu.ops.oscillator import render_padded
 from ddsp_tpu.parallel.mesh import TIME_AXIS
 
 

@@ -33,14 +33,14 @@ from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ddsp_tpu.config import Config
 from ddsp_tpu.models.synths import reverb_apply
 from ddsp_tpu.ops.fir import amp_to_impulse_response, fft_convolve, frame_noise
+from ddsp_tpu.ops.interp import edge_pad_frames as _edge_pad
 from ddsp_tpu.ops.oscillator import nyquist_normalized_amps, render_padded
-from ddsp_tpu.parallel.mesh import DATA_AXIS
+from ddsp_tpu.parallel.mesh import DATA_AXIS, make_mesh
 
 MODEL_AXIS = "model"
 
@@ -51,25 +51,7 @@ def make_dp_tp_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
     """('data', 'model') mesh: batch over 'data', harmonics over 'model'."""
-    devices = list(devices if devices is not None else jax.devices())
-    if n_data is None:
-        if len(devices) % n_model:
-            raise ValueError(
-                f"{len(devices)} devices not divisible by n_model={n_model}"
-            )
-        n_data = len(devices) // n_model
-    needed = n_data * n_model
-    if needed > len(devices):
-        raise ValueError(
-            f"mesh {n_data}x{n_model} needs {needed} devices, have {len(devices)}"
-        )
-    grid = np.asarray(devices[:needed]).reshape(n_data, n_model)
-    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
-
-
-def _edge_pad(x: jnp.ndarray) -> jnp.ndarray:
-    """One frame of replicated context on each side (offline semantics)."""
-    return jnp.concatenate([x[:, :1], x, x[:, -1:]], axis=1)
+    return make_mesh(n_data, n_model, devices, axis_names=(DATA_AXIS, MODEL_AXIS))
 
 
 def render_controls_tp(

@@ -278,13 +278,17 @@ def fit(
         )
 
     step_fn = jax.jit(make_train_step(conf), donate_argnums=0)
+    # Only upload what the step consumes -- 'probabilities' alone is
+    # (B, T, 360) of dead weight per batch otherwise (the scan path below
+    # does the same subsetting).
+    train_features = {k: features[k] for k in TRAIN_KEYS if k in features}
     last: Dict[str, float] = {}
     steps_done = 0
     epoch = 0
     t0 = time.time()
     while steps_done < num_steps:
         key, ke = jax.random.split(key)
-        for batch in batch_iterator(features, conf.batch_size, ke):
+        for batch in batch_iterator(train_features, conf.batch_size, ke):
             state, metrics = step_fn(state, batch)
             steps_done += 1
             if steps_done % conf.log_every == 0 or steps_done == num_steps:

@@ -142,3 +142,60 @@ def test_extract_features_and_iterate(tiny_dataset_dir):
 def test_missing_dir_raises():
     with pytest.raises(ValueError, match="No valid audio files"):
         list_audio_files("/nonexistent_dir_xyz")
+
+
+def _write_extensible_wav(path, body_bytes, bits, fmt_tag, sr=8000, channels=1):
+    """Handcraft a WAVE_FORMAT_EXTENSIBLE file (fmt tag 0xFFFE + SubFormat)."""
+    import struct
+
+    guid = struct.pack("<H", fmt_tag) + b"\x00\x00" + bytes(
+        [0x00, 0x00, 0x10, 0x00, 0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71]
+    )
+    block = channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 0xFFFE, channels, sr, sr * block, block, bits
+    ) + struct.pack("<HHI", 22, bits, 0) + guid
+    data = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body_bytes))
+    data += b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    data += b"data" + struct.pack("<I", len(body_bytes)) + body_bytes
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+def test_wav_extensible_int32_and_float32(tmp_path):
+    """WAVE_FORMAT_EXTENSIBLE decodes by SubFormat GUID, not a bit-depth guess."""
+    rng = np.random.default_rng(0)
+    x = (0.5 * rng.standard_normal(256)).clip(-1, 1).astype(np.float32)
+
+    p = str(tmp_path / "int32ext.wav")
+    # scale in float64: float32 rounds 2**31-1 up to 2**31, overflowing int32
+    _write_extensible_wav(
+        p, (x.astype(np.float64) * (2**31 - 1)).astype("<i4").tobytes(), 32, 1
+    )
+    y, sr = read_wav(p)
+    assert sr == 8000
+    np.testing.assert_allclose(y[0], x, atol=2 / 2**31 + 1e-7)
+
+    p = str(tmp_path / "f32ext.wav")
+    _write_extensible_wav(p, x.astype("<f4").tobytes(), 32, 3)
+    y, _ = read_wav(p)
+    np.testing.assert_allclose(y[0], x, atol=1e-7)
+
+    p = str(tmp_path / "badext.wav")
+    _write_extensible_wav(p, x.astype("<f4").tobytes(), 32, 0xFFF0)
+    with pytest.raises(UnsupportedAudioFormat):
+        read_wav(p)
+
+
+def test_feature_cache_keyed_on_crepe_weights(tiny_dataset_dir):
+    """Different CREPE weights must not share a feature cache (silently
+    reusing features from other weights was a real bug)."""
+    conf = tiny_dataset_dir.replace(batch_size=2)
+    crepe_a = crepe_init(jax.random.PRNGKey(0), "tiny")
+    crepe_b = crepe_init(jax.random.PRNGKey(1), "tiny")
+    fa = extract_features(crepe_a, conf, include_probabilities=False)
+    fb = extract_features(crepe_b, conf, include_probabilities=False)
+    caches = [f for f in os.listdir(conf.data_dir) if f.startswith("features_")]
+    assert len(caches) >= 2, caches
+    # different nets -> different pitch probabilities -> (generically) f0
+    assert not np.allclose(fa["f0"], fb["f0"])

@@ -64,15 +64,23 @@ def test_style_transfer_moves_toward_style():
 def test_dream_increases_activation():
     crepe = crepe_init(jax.random.PRNGKey(0), "tiny")
     rng = np.random.default_rng(1)
-    audio = (0.1 * rng.standard_normal((1, 1024))).astype(np.float32)
+    audio = (0.1 * rng.standard_normal((1, 2048))).astype(np.float32)
 
     from ddsp_tpu.models.crepe import crepe_activation
 
-    before = float(jnp.linalg.norm(crepe_activation(crepe, jnp.asarray(audio), 5)))
-    dreamed, after = dream(crepe, jnp.asarray(audio), layer_index=5, iterations=5, lr=1.0)
+    # The objective is evaluated on the mean/std-normalized audio
+    # (reference trajectory.py:56-57, torch unbiased std).
+    xn = (audio - audio.mean(axis=1, keepdims=True)) / audio.std(
+        axis=1, keepdims=True, ddof=1
+    )
+    before = float(
+        jnp.linalg.norm(crepe_activation(crepe, jnp.asarray(xn), 2)[0])
+    )
+    dreamed, after = dream(crepe, jnp.asarray(audio), layer_index=2, iterations=5, lr=1.0)
     assert after > before
-    assert dreamed.shape == (1, 1024)
+    assert dreamed.shape == (1, 2048)
     assert np.isfinite(dreamed).all()
+    assert np.abs(dreamed).max() <= 1.0  # clipped like the reference
 
 
 def test_dream_cli(tmp_path):
@@ -93,7 +101,8 @@ def test_dream_cli(tmp_path):
     write_wav(in_wav, (0.1 * rng.standard_normal(3 * 1024)).astype(np.float32), 16000)
     main([tiny, in_wav, out_wav, "4", "3", "1.0"])
     out, sr = read_wav(out_wav)
-    assert sr == 16000 and out.shape[-1] == 3 * 1024
+    # input is truncated to a multiple of 2048 (trajectory.py:46)
+    assert sr == 16000 and out.shape[-1] == 2048
     assert np.isfinite(out).all() and np.abs(out).max() <= 1.0
 
 

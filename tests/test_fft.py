@@ -106,3 +106,25 @@ def test_convolve_same_packed_even_batch(snr):
         lambda s: jnp.sum(rfft_convolve_same(s, jnp.asarray(ker), 3000) ** 2)
     )(jnp.asarray(sig))
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_rfft_pair_large_matmul_dtype(snr):
+    """matmul_dtype is honored on the Cooley-Tukey path (n > DIRECT_MAX)."""
+    import jax.numpy as jnp
+
+    from ddsp_tpu.ops.fft import DIRECT_MAX, rfft_pair
+
+    n = 4 * DIRECT_MAX
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    ref = np.fft.rfft(x, n)
+    re32, im32 = (np.asarray(a) for a in rfft_pair(jnp.asarray(x), n))
+    re16, im16 = (
+        np.asarray(a)
+        for a in rfft_pair(jnp.asarray(x), n, matmul_dtype=jnp.bfloat16)
+    )
+    assert re16.dtype == np.float32 and im16.dtype == np.float32  # f32 accum
+    assert snr(ref.real, re32) > 80 and snr(ref.imag, im32) > 80
+    # bf16 inputs: loss-grade accuracy, clearly worse than f32 but usable
+    assert snr(ref.real, re16) > 25 and snr(ref.imag, im16) > 25
+    assert snr(ref.real, re16) < snr(ref.real, re32)
