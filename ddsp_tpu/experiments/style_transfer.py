@@ -30,9 +30,9 @@ class StyleTransferConfig(NamedTuple):
     hop: int = 512
     kernel_size: int = 17
     n_features: int = 4096
-    content_weight: float = 1.0  # alpha (reference film_ui defaults)
-    style_weight: float = 1.0e6  # beta
-    n_steps: int = 200
+    content_weight: float = 1.0  # alpha (reference style_transfer.py:121)
+    style_weight: float = 1.0e13  # beta (:122; gram normalization matches)
+    n_steps: int = 1000  # reference LBFGS max_iter (:124)
     gl_iters: int = 64
     sample_rate: int = 44100
 
@@ -170,7 +170,7 @@ def main(argv=None) -> None:
     content, sr = read_wav(args[0])
     style, sr2 = read_wav(args[1])
     conf = StyleTransferConfig(
-        sample_rate=sr, n_steps=int(args[3]) if len(args) > 3 else 200
+        sample_rate=sr, n_steps=int(args[3]) if len(args) > 3 else 1000
     )
     out, metrics = style_transfer_audio(
         jnp.asarray(content.mean(0)), jnp.asarray(style.mean(0)), conf, log_every=50

@@ -100,8 +100,8 @@ def main() -> None:  # pragma: no cover - interactive UI
     st.title("ddsp_tpu spectrogram style transfer")
     with st.sidebar:
         alpha = st.number_input("content weight (alpha)", value=1.0, format="%f")
-        beta = st.number_input("style weight (beta)", value=1e6, format="%g")
-        n_steps = int(st.number_input("optimizer steps", value=200, step=50))
+        beta = st.number_input("style weight (beta)", value=1e13, format="%g")
+        n_steps = int(st.number_input("optimizer steps", value=1000, step=50))
         kernel = int(st.number_input("conv kernel size", value=17, step=2))
         n_features = int(st.number_input("conv features", value=4096, step=256))
         n_fft = int(st.selectbox("window size", [512, 1024, 2048, 4096], index=2))
