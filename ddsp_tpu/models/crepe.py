@@ -197,6 +197,12 @@ def pitch_weighted(probabilities: jnp.ndarray):
     Parity with the reference's (unused but present) ``pitch_weighted`` /
     ``pitch_centered`` (encoder.py:91-118): average cents of bins within
     +-4 of the argmax, weighted by probability (zero-padded at the edges).
+
+    Implements the evident *intent*, not the reference bug: the reference
+    writes ``selection[:, :, idx]`` with idx in -4..4, so negative indices
+    permute the cents vector relative to ``masked_select``'s ascending
+    values (encoder.py:96-110) and each probability is paired with the
+    wrong offset's cents.  Here offsets and values are aligned.
     """
     center = jnp.argmax(probabilities, axis=-1, keepdims=True)  # (..., 1)
     offsets = jnp.arange(-4, 5)

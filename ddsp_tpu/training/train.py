@@ -31,6 +31,17 @@ def main(argv=None) -> None:
         # trainer); 0/1 = classic one-call-per-step loop
         "device_steps": 50,
     }
+    if any(a in ("-h", "--help") for a in argv):
+        import dataclasses
+
+        print(__doc__.strip())
+        print("\nTrainer flags (defaults):")
+        for k, v in extra.items():
+            print(f"  --{k}={v!r}")
+        print("\nConfig flags (any Config field, defaults):")
+        for f in dataclasses.fields(Config):
+            print(f"  --{f.name}={f.default!r}")
+        return
     flags = []
     for a in argv:
         key = a[2:].split("=", 1)[0]

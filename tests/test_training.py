@@ -253,3 +253,12 @@ def test_find_latest_lightning_checkpoint(tmp_path):
     assert best.endswith("epoch=12-step=400.ckpt")
     with pytest.raises(FileNotFoundError):
         find_latest_lightning_checkpoint(str(tmp_path), 8)
+
+
+def test_train_cli_help(capsys):
+    """--help prints usage instead of crashing on an unknown config key."""
+    from ddsp_tpu.training.train import main
+
+    main(["--help"])
+    out = capsys.readouterr().out
+    assert "--num_steps" in out and "--data_dir" in out
