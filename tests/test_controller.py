@@ -102,7 +102,7 @@ def test_controller_matches_reference(torch_controller):
     )
 
 
-def test_stateful_hidden_advances(torch_controller):
+def test_stateful_hidden_advances():
     """Two-block streaming must continue the GRU state (the reference's live
     path returns the stale hidden, SURVEY.md section 2 -- fixed here)."""
     params = controller_init(jax.random.PRNGKey(1), CONF)

@@ -112,8 +112,8 @@ def test_load_examples_shapes_and_cache(tiny_dataset_dir):
     conf = tiny_dataset_dir
     ex = load_examples(conf)
     assert ex.shape[1] == conf.example_length == 88064
-    # 2.6 s audio -> (len-2s)//0.5s + 1 examples per file, 2 files
-    assert ex.shape[0] >= 2
+    # 2.6 s audio -> (len-2s)//0.5s + 1 = 2 examples per file, 2 files
+    assert ex.shape[0] == 4, ex.shape
     # cache hit returns identical data
     ex2 = load_examples(conf)
     np.testing.assert_array_equal(ex, ex2)

@@ -53,12 +53,30 @@ def test_style_transfer_moves_toward_style():
     )
     assert np.isfinite(out).all() and out.size > 0
     assert np.isfinite(metrics["loss"])
+    # the optimization must actually MOVE TOWARD the style: the final
+    # gram-matrix distance must be well below the starting one (the
+    # content spectrogram's distance to the style target, recomputed here
+    # with the same fixed extractor key the function uses)
+    from ddsp_tpu.experiments.style_transfer import (
+        extract_features,
+        extractor_init,
+        gram_matrix,
+    )
+
+    cs = log_spectrogram(jnp.asarray(content), conf)
+    ss = log_spectrogram(jnp.asarray(style), conf)
+    t = min(cs.shape[1], ss.shape[1])
+    extractor = extractor_init(jax.random.PRNGKey(0), cs.shape[0], conf)
+    g0 = gram_matrix(extract_features(extractor, cs[:, :t]))
+    gs = gram_matrix(extract_features(extractor, ss[:, :t]))
+    style0 = float(jnp.mean((g0 - gs) ** 2))
+    assert metrics["style"] < 0.5 * style0, (metrics["style"], style0)
     # stylized spectrogram differs from the content spectrogram
-    cs = np.asarray(log_spectrogram(jnp.asarray(content), conf))
+    cs_np = np.asarray(cs)
     os_ = np.asarray(
         log_spectrogram(jnp.asarray(out[: len(content)]), conf)
     )
-    assert np.abs(cs[:, : os_.shape[1]] - os_).mean() > 1e-3
+    assert np.abs(cs_np[:, : os_.shape[1]] - os_).mean() > 1e-3
 
 
 def test_dream_increases_activation():
@@ -81,6 +99,16 @@ def test_dream_increases_activation():
     assert dreamed.shape == (1, 2048)
     assert np.isfinite(dreamed).all()
     assert np.abs(dreamed).max() <= 1.0  # clipped like the reference
+    # independent oracle: recompute the activation norm of the RETURNED
+    # audio (self-reported 'after' alone would not catch a broken
+    # un-normalize/return path)
+    dn = (dreamed - dreamed.mean(axis=1, keepdims=True)) / dreamed.std(
+        axis=1, keepdims=True, ddof=1
+    )
+    recomputed = float(
+        jnp.linalg.norm(crepe_activation(crepe, jnp.asarray(dn), 2)[0])
+    )
+    assert recomputed > before, (recomputed, before)
 
 
 def test_dream_cli(tmp_path):

@@ -68,6 +68,9 @@ def test_bfloat16_compute_dtype():
         np.abs(np.asarray(out32)).max() + 1e-9
     )
     assert rel < 0.2, rel
+    # and the bf16 path must actually engage: identical outputs would mean
+    # compute_dtype was silently dropped
+    assert rel > 0.0, "bfloat16 output identical to f32 - flag ignored?"
 
 
 def test_crepe_full_capacity_architecture():

@@ -101,6 +101,14 @@ def test_kill_a_host_is_detected(tmp_path):
     hang = d0 is not None and "watchdog" in str(d0.get("error", ""))
     assert not hang, f"survivor hung instead of detecting the dead peer\n{log0[-2000:]}"
     # Detection surfaces either as a Python error in the step (worker wrote
-    # detected_failure) or as a fatal distributed-runtime abort (rc != 0).
-    detected = (d0 is not None and "detected_failure" in d0) or rc0 != 0
-    assert detected, f"rc0={rc0} data={d0}\n{log0[-2000:]}"
+    # detected_failure) or as a fatal distributed-runtime abort (rc != 0
+    # with no result file).  An unrelated crash of the survivor -- one that
+    # still wrote a result but without completing the pre-crash steps --
+    # must NOT count as detection.
+    if d0 is not None and "detected_failure" in d0:
+        # the survivor got through the steps before the peer died
+        assert len(d0["losses"]) >= 2, d0
+    else:
+        assert d0 is None and rc0 != 0, (
+            f"rc0={rc0} data={d0}\n{log0[-2000:]}"
+        )

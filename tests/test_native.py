@@ -114,9 +114,20 @@ def test_threaded_synthesizer_stream():
             synth.push(mic[i * hop : (i + 1) * hop])
             time.sleep(0.002)  # give the worker a chance (2-CPU host)
             outs.append(synth.pull(hop))
-        # drain the worker fully
-        time.sleep(0.5)
-        tail = synth.pull(hop)
-    out = np.concatenate(outs + [tail])
-    assert np.isfinite(out).all()
-    assert out.shape == (41 * hop,)
+        # Drain: wait until the worker has consumed every pushed hop (the
+        # 2-CPU CI host lags far behind the pulls), then read whatever is
+        # left in the output ring.
+        deadline = time.time() + 120.0
+        while synth._in.readable() >= hop and time.time() < deadline:
+            time.sleep(0.05)
+        time.sleep(0.3)  # let the final block land in the output ring
+        rest = synth._out.read(synth._out.readable())
+    out = np.concatenate(outs)
+    assert np.isfinite(out).all() and np.isfinite(rest).all()
+    assert out.shape == (40 * hop,)
+    # The worker must have actually synthesized: it wrote 40 blocks (the
+    # first two are pipeline-fill zeros) and the realtime pulls consumed at
+    # most 40 hops of the 43 written, so `rest` holds late REAL blocks --
+    # a dead or silent worker would leave it empty/all-zero.
+    assert len(rest) >= hop, len(rest)
+    assert np.abs(rest).max() > 1e-7, np.abs(rest).max()

@@ -133,3 +133,10 @@ def test_reconstruction_snr_after_training():
     pred = decoder_apply(state.params, batch, conf, jax.random.PRNGKey(5))
     final_mss = float(mss_loss(pred, jnp.asarray(audio), conf.mss_ffts))
     assert np.isfinite(final_mss)
+    # The rendered audio itself must be close to the target: far below an
+    # untrained decoder's distance (loss decreasing alone could be the
+    # noise branch fitting; this pins the actual waveform quality).
+    untrained = init_state(jax.random.PRNGKey(9), conf).params
+    pred0 = decoder_apply(untrained, batch, conf, jax.random.PRNGKey(5))
+    untrained_mss = float(mss_loss(pred0, jnp.asarray(audio), conf.mss_ffts))
+    assert final_mss < 0.2 * untrained_mss, (final_mss, untrained_mss)

@@ -1,5 +1,7 @@
 """Spectral ops: torch.stft oracles, A-weighting literature values."""
 
+import os
+
 import numpy as np
 import pytest
 import torch
@@ -92,7 +94,24 @@ def test_loudness_range():
     assert loud_sine.shape == (1, (sr - 2048) // 512 + 1, 1)
 
 
-def _torch_sss(pred, true, n_fft, alpha=1.0, overlap=0.75, eps=1e-7):
+def _reference_sss(pred, true, n_fft, alpha=1.0, overlap=0.75, eps=1e-7):
+    """Golden oracle: the reference's own SSSLoss imported at test time when
+    torchaudio exists; otherwise an independent torch re-derivation of its
+    documented formula (loss/mss_loss.py:16-33) so the test never goes dark
+    in torchaudio-free environments."""
+    import sys
+
+    if os.path.exists("/root/reference"):
+        if "/root/reference" not in sys.path:
+            sys.path.insert(0, "/root/reference")
+        try:
+            from loss.mss_loss import SSSLoss
+
+            return float(
+                SSSLoss(n_fft)(torch.from_numpy(pred), torch.from_numpy(true))
+            )
+        except Exception:  # torchaudio missing: fall through to the oracle
+            pass
     hop = int(n_fft * (1 - overlap))
     sp = torch.from_numpy(np.asarray(_torch_spectrogram(pred, n_fft, hop)))
     st = torch.from_numpy(np.asarray(_torch_spectrogram(true, n_fft, hop)))
@@ -107,7 +126,7 @@ def test_sss_loss_matches_reference_formula(n_fft):
     pred = (0.1 * rng.standard_normal((2, 4096))).astype(np.float32)
     true = (0.1 * rng.standard_normal((2, 4096))).astype(np.float32)
     got = float(sss_loss(pred, true, n_fft))
-    want = _torch_sss(pred, true, n_fft)
+    want = _reference_sss(pred, true, n_fft)
     assert abs(got - want) < 1e-3 * max(1.0, abs(want))
 
 

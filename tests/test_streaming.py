@@ -105,6 +105,10 @@ def test_block_synthesizer_end_to_end(tmp_path):
     out_path = str(tmp_path / "out.wav")
     stats = run_file_loopback(params, crepe, conf, in_path, out_path, max_blocks=40)
     assert stats["blocks"] == 40
+    assert stats["missed_deadlines"] >= 0  # tracked (CPU may miss some)
     out, sr2 = read_wav(out_path)
     assert sr2 == sr and out.shape[-1] == 40 * conf.hop_length
     assert np.isfinite(out).all()
+    # a silent synthesizer must not pass: the pipeline-filled tail of the
+    # render (after the 2-hop latency) must carry actual signal
+    assert np.abs(out[:, 4 * conf.hop_length :]).max() > 1e-6
