@@ -170,3 +170,130 @@ def make_tp_train_step(conf: Config, mesh: Mesh):
 
     tp_loss = functools.partial(loss_fn, decode=tp_decode)
     return jax.jit(make_train_step(conf, loss=tp_loss), donate_argnums=0)
+
+
+def make_time_tp_mesh(
+    n_time: int = 1,
+    n_model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """('time', 'model') mesh: long-render frames over 'time', the harmonic
+    bank over 'model'."""
+    from ddsp_tpu.parallel.mesh import TIME_AXIS
+
+    return make_mesh(n_time, n_model, devices, axis_names=(TIME_AXIS, MODEL_AXIS))
+
+
+def render_controls_time_tp(
+    reverb_params: Dict,
+    controls: Dict[str, jnp.ndarray],
+    conf: Config,
+    mesh: Mesh,
+    noise_key: jax.Array,
+    frame_chunk: Optional[int] = None,
+) -> jnp.ndarray:
+    """Long-render scale-out on BOTH axes: frames sharded over 'time', the
+    harmonic bank over 'model'.
+
+    Composes the two sharding mechanisms directly -- they touch different
+    mesh axes, so the collectives do not interact:
+
+    * over 'time': the exclusive-scan phase carry, ppermute control halos,
+      and overlap-save reverb halos of parallel/render.py (f0 is replicated
+      over 'model', so every model rank computes the same carry);
+    * over 'model': the psum'd Nyquist renormalization and partial-audio
+      reduction of render_controls_tp.
+
+    The noise and reverb branches are computed replicated over 'model'
+    (identical inputs -> identical outputs), so the result is replicated
+    over 'model' and sharded over 'time', matching the single-device render
+    to float32 accuracy.
+    """
+    from ddsp_tpu.models.synths import reverb_impulse
+    from ddsp_tpu.ops.fir import filtered_noise
+    from ddsp_tpu.parallel.mesh import TIME_AXIS
+    from ddsp_tpu.parallel.render import (
+        _halo_left,
+        _local_delta_total,
+        _neighbor_frame,
+        _phase_carry,
+    )
+
+    n_time = mesh.shape[TIME_AXIS]
+    n_model = mesh.shape[MODEL_AXIS]
+    t_total = controls["f0"].shape[1]
+    if t_total % n_time:
+        raise ValueError(f"T={t_total} not divisible by time axis {n_time}")
+    t_local = t_total // n_time
+    h_total = controls["c"].shape[-1]
+    pad = (-h_total) % n_model
+    c = (
+        jnp.pad(controls["c"], ((0, 0), (0, 0), (0, pad)))
+        if pad
+        else controls["c"]
+    )
+    h_local = (h_total + pad) // n_model
+
+    ctrl_spec = P(None, TIME_AXIS, None)
+    c_spec = P(None, TIME_AXIS, MODEL_AXIS)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), ctrl_spec, c_spec, ctrl_spec, ctrl_spec, P()),
+        out_specs=P(None, TIME_AXIS),
+        check_vma=False,
+    )
+    def shard(rev_params, f0, c_local, a, noise_mags, key):
+        tidx = jax.lax.axis_index(TIME_AXIS)
+        h0 = jax.lax.axis_index(MODEL_AXIS) * h_local
+
+        def with_context(x):
+            prev = _neighbor_frame(x, +1, TIME_AXIS)
+            nxt = _neighbor_frame(x, -1, TIME_AXIS)
+            return jnp.concatenate([prev, x, nxt], axis=1)
+
+        f0p, cp, ap = with_context(f0), with_context(c_local), with_context(a)
+
+        delta_total = _local_delta_total(f0p, conf.hop_length, conf.sample_rate)
+        phase0 = _phase_carry(delta_total, TIME_AXIS)
+
+        masked = nyquist_normalized_amps(
+            f0p, cp, conf.sample_rate, h_start=h0, normalize=False
+        )
+        denom = jax.lax.psum(
+            jnp.sum(masked, axis=-1, keepdims=True), MODEL_AXIS
+        )
+        amps = masked / denom
+        partial, _ = render_padded(
+            f0p,
+            amps,
+            ap,
+            sample_rate=conf.sample_rate,
+            hop=conf.hop_length,
+            initial_phase=phase0,
+            h_start=h0,
+            normalize_amps=False,
+            frame_chunk=frame_chunk,
+        )
+        harm = jax.lax.psum(partial, MODEL_AXIS)
+
+        noise = filtered_noise(
+            noise_mags, key, conf.hop_length, frame_offset=tidx * t_local
+        )
+        dry = harm + noise
+
+        halo = _halo_left(dry, conf.ir_length, TIME_AXIS)
+        window = jnp.concatenate([halo, dry], axis=-1)
+        impulse = reverb_impulse(rev_params, conf)
+        wet = fft_convolve(window, impulse[None, :], kernel_len=conf.ir_length)
+        return wet[..., -dry.shape[-1] :]
+
+    return shard(
+        reverb_params,
+        controls["f0"],
+        c,
+        controls["a"],
+        controls["H"],
+        noise_key,
+    )

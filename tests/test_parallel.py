@@ -228,3 +228,27 @@ def test_dp_tp_train_step_matches_single():
                     jax.tree_util.tree_leaves(tstate.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=3e-3)
+
+
+@pytest.mark.parametrize("n_time,n_model", [(2, 2), (4, 2), (2, 4)])
+def test_time_tp_render_matches_single(snr, n_time, n_model):
+    """Composed sharding: frames over 'time' AND harmonics over 'model'
+    must still match the single-device render."""
+    from ddsp_tpu.parallel.tp import make_time_tp_mesh, render_controls_time_tp
+
+    mesh = make_time_tp_mesh(
+        n_time=n_time, n_model=n_model, devices=jax.devices()[: n_time * n_model]
+    )
+    controls = _controls()
+    key = jax.random.PRNGKey(3)
+    params = {
+        "noise": jax.random.uniform(jax.random.PRNGKey(1), (CONF.ir_length,), minval=-1.0),
+        "decay": jnp.asarray(4.0),
+        "wet": jnp.asarray(0.5),
+    }
+    want = np.asarray(_single_device_render(params, controls, key))
+    got = np.asarray(
+        render_controls_time_tp(params, controls, CONF, mesh, key)
+    )
+    assert got.shape == want.shape
+    assert snr(want, got) > 70.0
