@@ -113,11 +113,18 @@ def decoder_apply(
     (B, T*hop) audio.
     """
     dtype = jnp.dtype(conf.compute_dtype) if conf.compute_dtype != "float32" else None
-    controls, _ = controller_apply(params["controller"], batch, compute_dtype=dtype)
-    harm, _ = oscillator_apply(controls, conf, frame_chunk=frame_chunk)
-    noise = noise_apply(controls, conf, noise_key)
+    # named scopes label each synth stage in jax.profiler traces
+    with jax.named_scope("controller"):
+        controls, _ = controller_apply(
+            params["controller"], batch, compute_dtype=dtype
+        )
+    with jax.named_scope("oscillator_bank"):
+        harm, _ = oscillator_apply(controls, conf, frame_chunk=frame_chunk)
+    with jax.named_scope("filtered_noise"):
+        noise = noise_apply(controls, conf, noise_key)
     signal = harm + noise
-    return reverb_apply(params["reverb"], signal, conf)
+    with jax.named_scope("reverb"):
+        return reverb_apply(params["reverb"], signal, conf)
 
 
 def decoder_synth_only(
