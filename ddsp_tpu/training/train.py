@@ -30,6 +30,9 @@ def main(argv=None) -> None:
         # optimizer steps per host->device call (device-resident scan
         # trainer); 0/1 = classic one-call-per-step loop
         "device_steps": 50,
+        # fraction of examples held out for validation; their mean MSS loss
+        # is logged as eval_loss (reference: limit_val_batches=0.01)
+        "eval_split": 0.0,
     }
     if any(a in ("-h", "--help") for a in argv):
         import dataclasses
@@ -62,6 +65,16 @@ def main(argv=None) -> None:
     n = len(features["audio"])
     print(f"{n} examples x {conf.example_length} samples")
 
+    eval_features = None
+    if extra["eval_split"] > 0:
+        import numpy as np
+
+        perm = np.random.default_rng(conf.seed).permutation(n)
+        n_eval = max(1, int(round(n * extra["eval_split"])))
+        eval_features = {k: v[perm[:n_eval]] for k, v in features.items()}
+        features = {k: v[perm[n_eval:]] for k, v in features.items()}
+        print(f"held out {n_eval} examples for eval")
+
     state = None
     ckpt = latest_checkpoint(conf.checkpoint_dir) if extra["resume"] else None
     if ckpt:
@@ -77,6 +90,7 @@ def main(argv=None) -> None:
         log_path=f"{conf.checkpoint_dir}/metrics.jsonl",
         dump_audio_dir=f"{conf.checkpoint_dir}/audio",
         device_steps=extra["device_steps"],
+        eval_features=eval_features,
     )
     print("final:", metrics)
 

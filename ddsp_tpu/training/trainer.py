@@ -170,6 +170,42 @@ def make_train_scan(conf: Config, steps_per_call: int):
 TRAIN_KEYS = ("f0", "normalized_cents", "loudness", "audio")
 
 
+def make_eval_step(conf: Config):
+    """Jitted (params, batch, key) -> scalar MSS loss, no optimizer.
+
+    The validation analogue of the reference's ``validation_step``
+    (reference train/train.py:39-43 renders wavs; here held-out loss is a
+    first-class metric and wav dumps are separate, _dump_reconstructions).
+    """
+
+    @jax.jit
+    def eval_step(params, batch, noise_key):
+        return loss_fn(params, batch, conf, noise_key)[0]
+
+    return eval_step
+
+
+def _held_out_loss(eval_step, params, eval_data, batch_size, key) -> float:
+    """Mean eval loss over full batches (rows tiled up if fewer than one)."""
+    n = len(next(iter(eval_data.values())))
+    if n < batch_size:  # keep one compiled shape: tile rows up to a batch
+        reps = -(-batch_size // n)
+        eval_data = {
+            k: np.concatenate([np.asarray(v)] * reps)[:batch_size]
+            for k, v in eval_data.items()
+        }
+        n = batch_size
+    total, count = 0.0, 0
+    for start in range(0, n - batch_size + 1, batch_size):
+        batch = {
+            k: jnp.asarray(np.asarray(v)[start : start + batch_size])
+            for k, v in eval_data.items()
+        }
+        total += float(eval_step(params, batch, jax.random.fold_in(key, start)))
+        count += 1
+    return total / count
+
+
 # --- checkpointing -----------------------------------------------------------
 def save_checkpoint(ckpt_dir: str, state: TrainState, conf: Config) -> str:
     """Versioned Orbax checkpoint: ckpt_dir/step_<N>/ holding the full state."""
@@ -254,6 +290,7 @@ def fit(
     dump_every: int = 10,
     seed: Optional[int] = None,
     device_steps: int = 0,
+    eval_features: Optional[Dict[str, np.ndarray]] = None,
 ) -> Tuple[TrainState, Dict[str, float]]:
     """Train the decoder on extracted features for ``num_steps`` steps.
 
@@ -262,6 +299,10 @@ def fit(
     runs that many optimizer steps on-device. Single-host convenience
     wrapper; the multi-chip path lives in parallel/train (same step
     function, sharded batch).
+
+    ``eval_features``: optional held-out feature rows; their mean MSS loss
+    is logged as ``eval_loss`` at every logging point (the reference's
+    validation pass, train/train.py:39-43 + limit_val_batches).
     """
     from ddsp_tpu.data.dataset import batch_iterator
 
@@ -271,10 +312,18 @@ def fit(
         state = init_state(ks, conf)
     logger = MetricsLogger(log_path)
 
+    eval_step = make_eval_step(conf) if eval_features is not None else None
+    eval_data = (
+        {k: eval_features[k] for k in TRAIN_KEYS if k in eval_features}
+        if eval_features is not None
+        else None
+    )
+
     if device_steps > 1:
         return _fit_scan(
             conf, features, num_steps, state, key, logger,
             dump_audio_dir, dump_every, device_steps,
+            eval_step=eval_step, eval_data=eval_data,
         )
 
     step_fn = jax.jit(make_train_step(conf), donate_argnums=0)
@@ -294,6 +343,10 @@ def fit(
             if steps_done % conf.log_every == 0 or steps_done == num_steps:
                 last = {k: float(v) for k, v in metrics.items()}
                 last["steps_per_s"] = steps_done / (time.time() - t0)
+                if eval_step is not None:
+                    last["eval_loss"] = _held_out_loss(
+                        eval_step, state.params, eval_data, conf.batch_size, key
+                    )
                 logger.log(int(state.step), last)
             if conf.checkpoint_every and steps_done % conf.checkpoint_every == 0:
                 save_checkpoint(conf.checkpoint_dir, state, conf)
@@ -352,6 +405,7 @@ def _maybe_cache_target_spectra(conf: Config, features) -> Dict[str, jnp.ndarray
 def _fit_scan(
     conf, features, num_steps, state, key, logger,
     dump_audio_dir, dump_every, device_steps,
+    eval_step=None, eval_data=None,
 ) -> Tuple[TrainState, Dict[str, float]]:
     data = {
         k: jnp.asarray(features[k]) for k in TRAIN_KEYS if k in features
@@ -381,6 +435,10 @@ def _fit_scan(
         last = {k: float(v[-1]) for k, v in mstack.items()}
         last["loss_mean"] = float(jnp.mean(mstack["loss"]))
         last["steps_per_s"] = steps_done / (time.time() - t0)
+        if eval_step is not None:
+            last["eval_loss"] = _held_out_loss(
+                eval_step, state.params, eval_data, conf.batch_size, key
+            )
         logger.log(int(state.step), last)
         if steps_done >= next_ckpt:
             save_checkpoint(conf.checkpoint_dir, state, conf)

@@ -262,3 +262,41 @@ def test_train_cli_help(capsys):
     main(["--help"])
     out = capsys.readouterr().out
     assert "--num_steps" in out and "--data_dir" in out
+
+
+def test_fit_logs_eval_loss(tmp_path):
+    """Held-out eval loss is a first-class logged metric (the reference's
+    validation pass, train/train.py:39-43 + limit_val_batches)."""
+    import json
+
+    import jax
+
+    from ddsp_tpu.training.trainer import fit
+
+    conf = CONF.replace(log_every=2, checkpoint_every=0)
+    rng = np.random.default_rng(0)
+    t = conf.frames_per_example
+
+    def rows(n):
+        return {
+            "f0": rng.uniform(100, 400, (n, t, 1)).astype(np.float32),
+            "normalized_cents": rng.uniform(0, 1, (n, t, 1)).astype(np.float32),
+            "loudness": rng.uniform(0, 1, (n, t, 1)).astype(np.float32),
+            "audio": (0.1 * rng.standard_normal((n, conf.example_length))).astype(
+                np.float32
+            ),
+        }
+
+    log = str(tmp_path / "m.jsonl")
+    for device_steps in (0, 2):  # classic loop and scan trainer
+        _, metrics = fit(
+            conf,
+            rows(2 * conf.batch_size),
+            num_steps=4,
+            log_path=log,
+            device_steps=device_steps,
+            eval_features=rows(conf.batch_size // 2),  # < one batch: tiled
+        )
+        assert np.isfinite(metrics["eval_loss"]), metrics
+    logged = [json.loads(line) for line in open(log)]
+    assert any("eval_loss" in row for row in logged)
