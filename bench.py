@@ -46,29 +46,38 @@ def main():
 
     # Measure pure device time: N forwards inside one jit, serialized by an
     # output->input dependency, so remote-dispatch latency and any host-side
-    # effects cannot distort the number.
-    iters = 50
+    # effects cannot distort the number; per-iteration time is the marginal
+    # (T_HI - T_LO) / (HI - LO) between two chain lengths, which subtracts
+    # the tunnel's fixed per-call round trip (~100-400 ms on this harness —
+    # a link property, not device time; same method as scripts/profile_*).
+    lo, hi = 50, 200
 
-    @jax.jit
-    def many(params, batch, key):
-        def body(carry, i):
-            b2 = dict(batch, loudness=batch["loudness"] + carry * 1e-12)
-            out = decoder_apply(params, b2, conf, jax.random.fold_in(key, i))
-            return jnp.sum(out * out), None
-        acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(iters))
-        return acc
+    def make_many(iters):
+        @jax.jit
+        def many(params, batch, key):
+            def body(carry, i):
+                b2 = dict(batch, loudness=batch["loudness"] + carry * 1e-12)
+                out = decoder_apply(params, b2, conf, jax.random.fold_in(key, i))
+                return jnp.sum(out * out), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(iters))
+            return acc
+        return many
 
-    r = many(params, batch, key)
-    jax.block_until_ready(r)  # compile + warm up
+    runs = {n: make_many(n) for n in (lo, hi)}
+    for n in (lo, hi):  # compile + warm up
+        jax.block_until_ready(runs[n](params, batch, key))
     times = []
     for trial in range(4):  # fresh key per trial; first trial can report a
         k = jax.random.fold_in(key, 1000 + trial)  # spuriously-early ready
-        t0 = time.perf_counter()
-        r = many(params, batch, k)
-        jax.block_until_ready(r)
-        times.append((time.perf_counter() - t0) / iters)
-        assert np.isfinite(float(r)), float(r)
-    dt = float(np.median(times))
+        ts = {}
+        for n in (lo, hi):
+            t0 = time.perf_counter()
+            r = runs[n](params, batch, k)
+            jax.block_until_ready(r)
+            ts[n] = time.perf_counter() - t0
+            assert np.isfinite(float(r)), float(r)
+        times.append((ts[hi] - ts[lo]) / (hi - lo))
+    dt = float(np.median(times[1:]))
 
     samples_per_s = batch_size * conf.example_length / dt
     baseline = 100 * conf.sample_rate  # 100x realtime per chip target

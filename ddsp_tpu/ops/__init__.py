@@ -2,6 +2,7 @@
 
 from ddsp_tpu.ops.fir import (
     amp_to_impulse_response,
+    convolve_designed_fir,
     fft_convolve,
     filtered_noise,
     frame_noise,
@@ -24,6 +25,7 @@ from ddsp_tpu.ops.spectral import (
 
 __all__ = [
     "amp_to_impulse_response",
+    "convolve_designed_fir",
     "fft_convolve",
     "filtered_noise",
     "frame_noise",

@@ -50,6 +50,15 @@ def _mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.matmul(a, b, precision=_PRECISION)
 
 
+def dft_matmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Matmul at the global DFT precision (see ``set_fft_precision``).
+
+    Public hook for callers that fold their own linear maps into the
+    spectral pipeline (e.g. the fused FIR-design matrices in ops/fir.py)
+    and must track the same precision contract as the DFT matmuls."""
+    return _mm(a, b)
+
+
 def next_pow2(n: int) -> int:
     p = 1
     while p < n:
@@ -229,12 +238,26 @@ def rfft_pair(x: jnp.ndarray, n: Optional[int] = None, matmul_dtype=None):
     return re[..., : n // 2 + 1], im[..., : n // 2 + 1]
 
 
-def irfft_pair(re: jnp.ndarray, im: jnp.ndarray, n: Optional[int] = None):
-    """Inverse of rfft_pair: (..., n//2+1) spectra -> (..., n) real signal."""
+def irfft_pair(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    n: Optional[int] = None,
+    out_len: Optional[int] = None,
+):
+    """Inverse of rfft_pair: (..., n//2+1) spectra -> (..., n) real signal.
+
+    ``out_len`` keeps only the first ``out_len`` output samples.  In the
+    direct-matmul regime this truncates the inverse-DFT matrix's *columns*
+    on the host, halving the matmul when only the causal half of a linear
+    convolution is wanted (e.g. the per-frame noise FIR keeps 512 of 1024
+    inverse outputs) -- XLA cannot shrink a dot through a downstream slice.
+    """
     n_bins = re.shape[-1]
     n = n or 2 * (n_bins - 1)
     if n <= DIRECT_MAX:
         mr, mi = _irdft_mats(n_bins, n)
+        if out_len is not None and out_len < n:
+            mr, mi = mr[:, :out_len], mi[:, :out_len]
         return _mm(re, jnp.asarray(mr)) + _mm(im, jnp.asarray(mi))
     # Large size: hermitian-extend and run a forward CT FFT with conjugation:
     # ifft(X) = conj(fft(conj(X))) / n; output is real by construction.
@@ -245,7 +268,10 @@ def irfft_pair(re: jnp.ndarray, im: jnp.ndarray, n: Optional[int] = None):
     full_i = jnp.concatenate([im, -tail_i], axis=-1)
     yr, yi = _fft_ct(full_r, -full_i, n)
     del yi  # imaginary residue is numerical noise for hermitian inputs
-    return yr / n
+    out = yr / n
+    if out_len is not None and out_len < n:
+        out = out[..., :out_len]
+    return out
 
 
 def _reverse_spectrum(a: jnp.ndarray) -> jnp.ndarray:
@@ -386,4 +412,4 @@ def rfft_convolve_same(signal: jnp.ndarray, kernel: jnp.ndarray, kernel_len: int
     kr, ki = rfft_pair(kernel[..., :kernel_len], n)
     yr = sr * kr - si * ki
     yi = sr * ki + si * kr
-    return irfft_pair(yr, yi, n)[..., :length]
+    return irfft_pair(yr, yi, n, out_len=length)

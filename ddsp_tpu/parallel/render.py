@@ -34,7 +34,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ddsp_tpu.config import Config
 from ddsp_tpu.models.synths import reverb_impulse
-from ddsp_tpu.ops.fir import fft_convolve, filtered_noise
+from ddsp_tpu.ops.fir import (
+    convolve_designed_fir,
+    fft_convolve,
+    filtered_noise,
+    frame_noise,
+)
 from ddsp_tpu.ops.interp import hop_weight_cumsum
 from ddsp_tpu.ops.oscillator import render_padded
 from ddsp_tpu.parallel.mesh import TIME_AXIS
@@ -106,6 +111,84 @@ def _local_delta_total(f0_pad: jnp.ndarray, hop: int, sample_rate: int) -> jnp.n
     return total - jnp.floor(total)
 
 
+def render_controls_local(
+    rev_params: Dict,
+    f0: jnp.ndarray,
+    amps: jnp.ndarray,
+    loud: jnp.ndarray,
+    noise_mags: jnp.ndarray,
+    key: jax.Array,
+    conf: Config,
+    t_local: int,
+    frame_chunk: Optional[int] = None,
+    data_axis: Optional[str] = None,
+    b_global: Optional[int] = None,
+) -> jnp.ndarray:
+    """Per-shard synthesis body: local frames -> local audio samples.
+
+    Must run inside a ``shard_map`` over ``TIME_AXIS`` (it issues ppermute /
+    all_gather collectives for the control halo, phase carry, and reverb
+    overlap-save halo).  Exposed so other sharded computations — e.g. the
+    sequence-parallel train step (parallel/sp.py) — can reuse the exact
+    render path inside their own shard_map.
+
+    When the batch rows are *also* sharded (over ``data_axis``), pass that
+    axis name and the global batch size: the noise is then drawn at global
+    batch shape and row-sliced per shard, so every row's noise is
+    bit-identical to the unsharded render (the tp.py convention).
+    """
+    idx = jax.lax.axis_index(TIME_AXIS)
+
+    def with_context(x):
+        prev = _neighbor_frame(x, +1, TIME_AXIS)
+        nxt = _neighbor_frame(x, -1, TIME_AXIS)
+        return jnp.concatenate([prev, x, nxt], axis=1)
+
+    f0_pad = with_context(f0)
+    amps_pad = with_context(amps)
+    loud_pad = with_context(loud)
+
+    # 1. phase carry across shards
+    delta_total = _local_delta_total(f0_pad, conf.hop_length, conf.sample_rate)
+    phase0 = _phase_carry(delta_total, TIME_AXIS)
+
+    harm, _ = render_padded(
+        f0_pad,
+        amps_pad,
+        loud_pad,
+        sample_rate=conf.sample_rate,
+        hop=conf.hop_length,
+        initial_phase=phase0,
+        frame_chunk=frame_chunk,
+    )
+
+    # 2. frame-local noise with global frame offsets (bit-stable)
+    if data_axis is None:
+        noise_sig = filtered_noise(
+            noise_mags, key, conf.hop_length, frame_offset=idx * t_local
+        )
+    else:
+        b_local = noise_mags.shape[0]
+        frames = frame_noise(
+            key, b_global, noise_mags.shape[1], conf.hop_length,
+            frame_offset=idx * t_local, dtype=noise_mags.dtype,
+        )
+        didx = jax.lax.axis_index(data_axis)
+        frames = jax.lax.dynamic_slice_in_dim(
+            frames, didx * b_local, b_local, 0
+        )
+        noise_sig = convolve_designed_fir(noise_mags, frames)
+    dry = harm + noise_sig
+
+    # 3. overlap-save reverb: halo of ir_len previous dry samples
+    ir_len = conf.ir_length
+    halo = _halo_left(dry, ir_len, TIME_AXIS)
+    window = jnp.concatenate([halo, dry], axis=-1)
+    impulse = reverb_impulse(rev_params, conf)
+    wet = fft_convolve(window, impulse[None, :], kernel_len=ir_len)
+    return wet[..., -dry.shape[-1] :]
+
+
 def render_controls_sharded(
     reverb_params: Dict,
     controls: Dict[str, jnp.ndarray],
@@ -131,7 +214,6 @@ def render_controls_sharded(
     if t_total % n_time:
         raise ValueError(f"T={t_total} not divisible by time axis {n_time}")
     t_local = t_total // n_time
-    ir_len = conf.ir_length
 
     ctrl_spec = P(None, TIME_AXIS, None)
     out_spec = P(None, TIME_AXIS)
@@ -144,43 +226,10 @@ def render_controls_sharded(
         check_vma=False,
     )
     def shard_render(rev_params, f0, amps, loud, noise_mags, key):
-        idx = jax.lax.axis_index(TIME_AXIS)
-
-        def with_context(x):
-            prev = _neighbor_frame(x, +1, TIME_AXIS)
-            nxt = _neighbor_frame(x, -1, TIME_AXIS)
-            return jnp.concatenate([prev, x, nxt], axis=1)
-
-        f0_pad = with_context(f0)
-        amps_pad = with_context(amps)
-        loud_pad = with_context(loud)
-
-        # 1. phase carry across shards
-        delta_total = _local_delta_total(f0_pad, conf.hop_length, conf.sample_rate)
-        phase0 = _phase_carry(delta_total, TIME_AXIS)
-
-        harm, _ = render_padded(
-            f0_pad,
-            amps_pad,
-            loud_pad,
-            sample_rate=conf.sample_rate,
-            hop=conf.hop_length,
-            initial_phase=phase0,
-            frame_chunk=frame_chunk,
+        return render_controls_local(
+            rev_params, f0, amps, loud, noise_mags, key, conf, t_local,
+            frame_chunk,
         )
-
-        # 2. frame-local noise with global frame offsets (bit-stable)
-        noise = filtered_noise(
-            noise_mags, key, conf.hop_length, frame_offset=idx * t_local
-        )
-        dry = harm + noise
-
-        # 3. overlap-save reverb: halo of ir_len previous dry samples
-        halo = _halo_left(dry, ir_len, TIME_AXIS)
-        window = jnp.concatenate([halo, dry], axis=-1)
-        impulse = reverb_impulse(rev_params, conf)
-        wet = fft_convolve(window, impulse[None, :], kernel_len=ir_len)
-        return wet[..., -dry.shape[-1] :]
 
     return shard_render(
         reverb_params,

@@ -37,7 +37,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ddsp_tpu.config import Config
 from ddsp_tpu.models.synths import reverb_apply
-from ddsp_tpu.ops.fir import amp_to_impulse_response, fft_convolve, frame_noise
+from ddsp_tpu.ops.fir import convolve_designed_fir, fft_convolve, frame_noise
 from ddsp_tpu.ops.interp import edge_pad_frames as _edge_pad
 from ddsp_tpu.ops.oscillator import nyquist_normalized_amps, render_padded
 from ddsp_tpu.parallel.mesh import DATA_AXIS, make_mesh
@@ -126,8 +126,7 @@ def render_controls_tp(
         noise = jax.lax.dynamic_slice_in_dim(
             noise_full, didx * b_local, b_local, 0
         )
-        impulse = amp_to_impulse_response(noise_mags, hop)
-        dry = harm + fft_convolve(noise, impulse).reshape(-1, t * hop)
+        dry = harm + convolve_designed_fir(noise_mags, noise)
         return reverb_apply(rev_params, dry, conf)
 
     return shard(

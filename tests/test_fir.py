@@ -90,3 +90,36 @@ def test_filtered_noise_shape_and_spectrum():
     taps = np.roll(ir, 64)[:128]
     h_resp = np.abs(np.fft.rfft(taps, 1024))
     assert h_resp[int(0.7 * len(h_resp)) :].max() < 2e-2 * h_resp[:40].max()
+
+
+@pytest.mark.parametrize("nf,block", [(65, 128), (195, 512)])
+def test_filtered_noise_fused_equals_explicit_path(nf, block):
+    """The fused spectral path (design+forward-DFT composite matrix,
+    truncated inverse) must equal ir-then-convolve to float32 accuracy."""
+    key = jax.random.PRNGKey(3)
+    rng = np.random.default_rng(4)
+    b, t = 2, 7
+    mags = jnp.asarray(rng.uniform(0, 1, (b, t, nf)).astype(np.float32))
+    got = np.asarray(filtered_noise(mags, key, block))
+    impulse = amp_to_impulse_response(mags, block)
+    noise = frame_noise(key, b, t, block, 0, jnp.float32)
+    want = np.asarray(fft_convolve(noise, impulse)).reshape(b, t * block)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-5)
+
+
+def test_filtered_noise_rejects_short_block():
+    key = jax.random.PRNGKey(0)
+    mags = jnp.ones((1, 2, 65), jnp.float32)  # designed FIR = 128 taps
+    with pytest.raises(ValueError):
+        filtered_noise(mags, key, 64)
+
+
+def test_irfft_out_len_matches_slice():
+    from ddsp_tpu.ops.fft import irfft_pair, rfft_pair
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((3, 256)).astype(np.float32)
+    re, im = rfft_pair(jnp.asarray(x), 256)
+    full = np.asarray(irfft_pair(re, im, 256))
+    trunc = np.asarray(irfft_pair(re, im, 256, out_len=100))
+    np.testing.assert_allclose(trunc, full[..., :100], rtol=1e-5, atol=1e-6)

@@ -252,3 +252,70 @@ def test_time_tp_render_matches_single(snr, n_time, n_model):
     )
     assert got.shape == want.shape
     assert snr(want, got) > 70.0
+
+
+# --- sequence parallelism: time-sharded training (parallel/sp.py) ------------
+from ddsp_tpu.parallel.sp import make_sp_train_step
+
+
+def test_sp_train_step_matches_single():
+    """DP x SP (2 data x 4 time) train step == single-device step: loss,
+    per-scale terms, and updated params all match -- the MSS loss's sharded
+    frame ownership + STFT halos reproduce the offline reflect-pad framing
+    exactly, and gradients flow through the phase carry / reverb halos."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(n_data=2, n_time=4)
+    b, t = 4, 16  # local shard = 4 frames * 64 = 256 samples >= n_fft//2+1
+    feats_rng = np.random.default_rng(7)
+    batch = {
+        "f0": feats_rng.uniform(100, 400, (b, t, 1)).astype(np.float32),
+        "normalized_cents": feats_rng.uniform(0, 1, (b, t, 1)).astype(np.float32),
+        "loudness": feats_rng.uniform(0, 1, (b, t, 1)).astype(np.float32),
+        "audio": (0.1 * feats_rng.standard_normal((b, t * CONF.hop_length))).astype(
+            np.float32
+        ),
+    }
+    state0 = init_state(jax.random.PRNGKey(0), CONF)
+    local_state, local_metrics = jax.jit(make_train_step(CONF))(state0, batch)
+
+    sp_step = make_sp_train_step(CONF, mesh)
+    sp_state = shard_state(init_state(jax.random.PRNGKey(0), CONF), mesh)
+    sp_batch = {
+        k: jax.device_put(
+            v,
+            NamedSharding(mesh, P("data", "time") if k == "audio" else P("data")),
+        )
+        for k, v in batch.items()
+    }
+    sp_state, sp_metrics = sp_step(sp_state, sp_batch)
+
+    assert abs(float(local_metrics["loss"]) - float(sp_metrics["loss"])) < 1e-2
+    for n_fft in CONF.mss_ffts:
+        k = f"mss_{n_fft}"
+        assert abs(float(local_metrics[k]) - float(sp_metrics[k])) < 1e-2
+    leaves_l = jax.tree_util.tree_leaves(local_state.params)
+    leaves_s = jax.tree_util.tree_leaves(sp_state.params)
+    for a, c in zip(leaves_l, leaves_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=2e-3, atol=2e-5)
+
+
+def test_sp_loss_rejects_short_shards():
+    """A time shard shorter than n_fft//2+1 samples cannot host the STFT
+    halo; the loss must fail loudly, not silently mis-frame."""
+    from ddsp_tpu.parallel.sp import make_sp_loss
+
+    mesh = make_mesh(n_data=1, n_time=8)
+    b, t = 2, 8  # local shard = 1 frame * 64 = 64 < 129
+    rng = np.random.default_rng(0)
+    batch = {
+        "f0": rng.uniform(100, 400, (b, t, 1)).astype(np.float32),
+        "normalized_cents": rng.uniform(0, 1, (b, t, 1)).astype(np.float32),
+        "loudness": rng.uniform(0, 1, (b, t, 1)).astype(np.float32),
+        "audio": np.zeros((b, t * CONF.hop_length), np.float32),
+    }
+    params = init_state(jax.random.PRNGKey(0), CONF).params
+    with pytest.raises(ValueError):
+        jax.jit(
+            lambda p, bt: make_sp_loss(CONF, mesh)(p, bt, CONF, jax.random.PRNGKey(0))[0]
+        )(params, batch)
