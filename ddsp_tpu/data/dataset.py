@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ddsp_tpu.config import Config
-from ddsp_tpu.data.audio_io import have_compressed_backend, read_audio
+from ddsp_tpu.data.audio_io import have_compressed_backend
 from ddsp_tpu.models.autoencoder import feature_pad
 from ddsp_tpu.models.encoder import encoder_apply
 from ddsp_tpu.ops.resample import resample
@@ -96,10 +96,10 @@ def load_examples(conf: Config, clear: bool = False) -> np.ndarray:
     if os.path.exists(cache) and not clear:
         return np.load(cache)["examples"]
 
+    from ddsp_tpu.native import load_corpus_mono
+
     chunks = []
-    for path in files:
-        y, sr = read_audio(path)
-        y = y.mean(axis=0) if y.shape[0] > 1 else y[0]
+    for y, sr in load_corpus_mono(files):
         if sr != conf.sample_rate:
             y = np.asarray(resample(jnp.asarray(y), sr, conf.sample_rate))
         pad = (-len(y)) % conf.hop_length

@@ -1,10 +1,11 @@
 """Native (C++) runtime components with build-on-demand ctypes bindings.
 
 The TPU compute path is JAX/XLA/Pallas; the host-side runtime around it --
-the real-time audio exchange and sample-format conversion -- is native C++
-(ddsp_tpu/native/ringbuffer.cpp), compiled once with g++ into a cached
-shared object and bound via ctypes.  A pure-Python fallback keeps every
-feature working where no compiler exists.
+the real-time audio exchange, sample-format conversion, and the parallel
+dataset-ingest decoder -- is native C++ (ddsp_tpu/native/ringbuffer.cpp,
+wavloader.cpp), compiled once with g++ into a cached shared object and
+bound via ctypes.  A pure-Python fallback keeps every feature working
+where no compiler exists.
 """
 
 from __future__ import annotations
@@ -14,11 +15,15 @@ import os
 import subprocess
 import tempfile
 import threading
-from typing import Optional
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ringbuffer.cpp")
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRCS = [
+    os.path.join(_DIR, "ringbuffer.cpp"),
+    os.path.join(_DIR, "wavloader.cpp"),
+]
 _LIB_CACHE: dict = {}
 _LOCK = threading.Lock()
 
@@ -30,9 +35,13 @@ def _build_library() -> Optional[ctypes.CDLL]:
     )
     os.makedirs(cache_dir, exist_ok=True)
     lib_path = os.path.join(cache_dir, "libddsp_native.so")
-    if not os.path.exists(lib_path) or os.path.getmtime(lib_path) < os.path.getmtime(_SRC):
+    src_mtime = max(os.path.getmtime(s) for s in _SRCS)
+    if not os.path.exists(lib_path) or os.path.getmtime(lib_path) < src_mtime:
         tmp = lib_path + f".tmp{os.getpid()}"
-        cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", tmp, _SRC]
+        cmd = [
+            "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+            "-o", tmp, *_SRCS,
+        ]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
             os.replace(tmp, lib_path)
@@ -58,6 +67,17 @@ def _build_library() -> Optional[ctypes.CDLL]:
         getattr(lib, name).argtypes = [ctypes.c_void_p, fp, u64]
     lib.pcm16_to_f32.argtypes = [i16p, fp, u64]
     lib.f32_to_pcm16.argtypes = [fp, i16p, u64]
+    charpp = ctypes.POINTER(ctypes.c_char_p)
+    lib.corpus_load.restype = ctypes.c_void_p
+    lib.corpus_load.argtypes = [charpp, u64, ctypes.c_int]
+    lib.corpus_samples.restype = u64
+    lib.corpus_samples.argtypes = [ctypes.c_void_p, u64]
+    lib.corpus_rate.restype = ctypes.c_uint32
+    lib.corpus_rate.argtypes = [ctypes.c_void_p, u64]
+    lib.corpus_error.restype = u64
+    lib.corpus_error.argtypes = [ctypes.c_void_p, u64, ctypes.c_char_p, u64]
+    lib.corpus_copy.argtypes = [ctypes.c_void_p, u64, fp]
+    lib.corpus_free.argtypes = [ctypes.c_void_p]
     return lib
 
 
@@ -167,6 +187,58 @@ def pcm16_to_f32(pcm: np.ndarray) -> np.ndarray:
         )
         return out
     return (pcm.astype(np.float32) / 32768.0).astype(np.float32)
+
+
+def load_corpus_mono(
+    paths: Sequence[str],
+    n_threads: Optional[int] = None,
+    force_python: bool = False,
+) -> List[Tuple[np.ndarray, int]]:
+    """Decode a corpus of audio files to mono float32, in parallel.
+
+    Native path: a C++ std::thread pool RIFF-parses, decodes, and
+    mono-mixes every ``.wav`` concurrently (wavloader.cpp) -- the
+    TPU-framework counterpart of the reference's DataLoader worker
+    processes (reference train/train.py:48).  Non-WAV files, decode
+    errors, and missing-compiler environments fall back to the Python
+    decoder (data/audio_io.read_audio), whose WAV semantics the native
+    decoder matches bit-for-bit (tests/test_native.py).
+
+    Returns [(mono float32 (n,), sample_rate), ...] in input order.
+    """
+    from ddsp_tpu.data.audio_io import read_audio
+
+    paths = list(paths)
+    lib = None if force_python else get_library()
+    results: List[Optional[Tuple[np.ndarray, int]]] = [None] * len(paths)
+    native_idx = [
+        i for i, p in enumerate(paths) if p.lower().endswith(".wav")
+    ] if lib is not None else []
+    if native_idx:
+        arr = (ctypes.c_char_p * len(native_idx))(
+            *[paths[i].encode() for i in native_idx]
+        )
+        handle = lib.corpus_load(
+            arr, len(native_idx), n_threads or os.cpu_count() or 2
+        )
+        try:
+            for j, i in enumerate(native_idx):
+                if lib.corpus_error(handle, j, None, 0):
+                    continue  # python fallback will surface the error
+                n = int(lib.corpus_samples(handle, j))
+                out = np.empty(n, np.float32)
+                lib.corpus_copy(
+                    handle, j, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+                )
+                results[i] = (out, int(lib.corpus_rate(handle, j)))
+        finally:
+            lib.corpus_free(handle)
+    for i, p in enumerate(paths):
+        if results[i] is None:
+            y, sr = read_audio(p)
+            y = y.mean(axis=0) if y.shape[0] > 1 else y[0]
+            results[i] = (np.ascontiguousarray(y, np.float32), sr)
+    return results  # type: ignore[return-value]
 
 
 def f32_to_pcm16(audio: np.ndarray) -> np.ndarray:

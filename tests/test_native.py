@@ -131,3 +131,91 @@ def test_threaded_synthesizer_stream():
     # a dead or silent worker would leave it empty/all-zero.
     assert len(rest) >= hop, len(rest)
     assert np.abs(rest).max() > 1e-7, np.abs(rest).max()
+
+
+# --- parallel WAV corpus decoder (wavloader.cpp) ------------------------------
+def _write_test_wav(path, audio, rate, bits, fmt="pcm"):
+    """Write (channels, samples) float32 as a WAV of the given depth/format."""
+    import struct
+
+    audio = np.asarray(audio, np.float32)
+    ch, n = audio.shape
+    inter = audio.T.reshape(-1)
+    if fmt == "f32":
+        raw = inter.astype("<f4").tobytes()
+        tag, bits = 3, 32
+    elif fmt == "f64":
+        raw = inter.astype("<f8").tobytes()
+        tag, bits = 3, 64
+    elif bits == 8:
+        raw = (np.clip(inter, -1, 1) * 127 + 128).astype(np.uint8).tobytes()
+        tag = 1
+    elif bits == 16:
+        raw = np.clip(inter * 32768, -32768, 32767).astype("<i2").tobytes()
+        tag = 1
+    elif bits == 24:
+        i32 = np.clip(inter * (1 << 23), -(1 << 23), (1 << 23) - 1).astype(np.int32)
+        b = np.zeros((len(i32), 3), np.uint8)
+        b[:, 0] = i32 & 0xFF
+        b[:, 1] = (i32 >> 8) & 0xFF
+        b[:, 2] = (i32 >> 16) & 0xFF
+        raw = b.tobytes()
+        tag = 1
+    elif bits == 32:
+        raw = np.clip(inter * (1 << 31), -(2**31), 2**31 - 1).astype("<i4").tobytes()
+        tag = 1
+    block = ch * bits // 8
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 36 + len(raw)) + b"WAVEfmt ")
+        f.write(struct.pack("<IHHIIHH", 16, tag, ch, rate, rate * block, block, bits))
+        f.write(b"data" + struct.pack("<I", len(raw)) + raw)
+
+
+@pytest.mark.parametrize(
+    "bits,fmt,ch",
+    [(8, "pcm", 1), (16, "pcm", 2), (24, "pcm", 1), (32, "pcm", 2),
+     (32, "f32", 2), (64, "f64", 1)],
+)
+def test_corpus_decoder_matches_python(tmp_path, bits, fmt, ch):
+    """Native decode+mono-mix == Python read_audio+mean, bit-for-bit."""
+    from ddsp_tpu.native import load_corpus_mono
+
+    rng = np.random.default_rng(bits + ch)
+    audio = (0.8 * rng.standard_normal((ch, 1000))).clip(-1, 0.999).astype(np.float32)
+    p = str(tmp_path / f"t{bits}{fmt}.wav")
+    _write_test_wav(p, audio, 22050, bits, fmt)
+    native = load_corpus_mono([p])
+    python = load_corpus_mono([p], force_python=True)
+    assert native[0][1] == python[0][1] == 22050
+    np.testing.assert_array_equal(native[0][0], python[0][0])
+
+
+def test_corpus_decoder_many_files_threaded(tmp_path):
+    from ddsp_tpu.native import load_corpus_mono, native_available
+
+    if not native_available():
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(0)
+    paths, want = [], []
+    for i in range(12):
+        a = (0.5 * rng.standard_normal((1, 300 + 17 * i))).astype(np.float32)
+        p = str(tmp_path / f"f{i}.wav")
+        _write_test_wav(p, a, 16000, 16)
+        paths.append(p)
+    got = load_corpus_mono(paths, n_threads=4)
+    ref = load_corpus_mono(paths, force_python=True)
+    for (ga, gr), (ra, rr) in zip(got, ref):
+        assert gr == rr == 16000
+        np.testing.assert_array_equal(ga, ra)
+
+
+def test_corpus_decoder_bad_file_falls_back(tmp_path):
+    """A corrupt wav raises the Python decoder's clear error, not a crash."""
+    from ddsp_tpu.data.audio_io import UnsupportedAudioFormat
+    from ddsp_tpu.native import load_corpus_mono
+
+    p = str(tmp_path / "bad.wav")
+    with open(p, "wb") as f:
+        f.write(b"not a wav at all")
+    with pytest.raises(UnsupportedAudioFormat):
+        load_corpus_mono([p])
