@@ -34,6 +34,14 @@ def use_pallas_oscillator(conf: Config) -> bool:
     return jax.default_backend() == "tpu"
 
 
+def osc_impl_name(conf: Config) -> str:
+    """Resolved oscillator implementation ('pallas' | 'xla') for
+    ops.oscillator.render_padded's ``impl`` argument -- the sharded render
+    paths (parallel/) dispatch through this so ``conf.osc_impl`` is honored
+    inside shard_map too."""
+    return "pallas" if use_pallas_oscillator(conf) else "xla"
+
+
 def oscillator_apply(
     controls: dict,
     conf: Config,

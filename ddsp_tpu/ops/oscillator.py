@@ -207,6 +207,7 @@ def render_padded(
     frame_chunk: Optional[int] = None,
     h_start: int = 0,
     normalize_amps: bool = True,
+    impl: str = "xla",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Render audio from frame-rate controls that carry 1 frame of context.
 
@@ -219,12 +220,19 @@ def render_padded(
         (harmonic h's phase is exactly h times it, mod 1).
       frame_chunk: if set, render in chunks of this many frames under
         ``jax.checkpoint`` to bound peak memory (the sine basis is
-        rematerialized in the backward pass).
+        rematerialized in the backward pass).  XLA path only: the Pallas
+        kernel is already frame-blocked and never materializes the
+        harmonic-resolved tensor, so chunking it would only add overhead.
       h_start: harmonic-number offset of ``amps_pad``'s slice of the bank
-        (tensor parallelism over harmonics, parallel/tp.py).
+        (tensor parallelism over harmonics, parallel/tp.py); may be a traced
+        scalar (``axis_index * shard`` inside shard_map).
       normalize_amps: apply Nyquist mask + renormalization here.  Pass False
         when amps were already masked/normalized globally (TP shards must
         normalize by the psum over every shard's amps).
+      impl: 'xla' (einsum contraction) or 'pallas' (fused sine-bank kernel,
+        ops/pallas/oscillator.py -- ~4x faster per chip at production shape).
+        Both share the frame-rate phase scan; only the audio-rate stage
+        differs, so outputs agree to float32 accuracy.
 
     Returns:
       audio: (B, T*hop) rendered harmonic signal.
@@ -248,6 +256,14 @@ def render_padded(
     phase1 = _fundamental_phase_cycles(f0p, hop, sample_rate, initial_phase)
     # Final fundamental phase = phase of the last rendered sample.
     final_phase = phase1[:, -1, -1]
+
+    if impl == "pallas":
+        from ddsp_tpu.ops.pallas.oscillator import pallas_render_from_phase
+
+        audio = pallas_render_from_phase(
+            phase1, amps_pad, loudp, h_start=h_start
+        )
+        return audio, final_phase
 
     if frame_chunk is None or frame_chunk >= t:
         audio = _render_from_phase(phase1, amps_pad, loudp, n_harmonics, h_start)

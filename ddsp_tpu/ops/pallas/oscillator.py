@@ -44,9 +44,9 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def _fill_sine_banks_cat(sin_ref, cos_ref, x, hb):
+def _fill_sine_banks_cat(sin_ref, cos_ref, x, hb, h0=0.0):
     """Fill (hb, L) VMEM banks with sin(2 pi h x) and cos(2 pi h x) for
-    h = 1..hb, eight harmonics per sublane tile.
+    h = h0+1..h0+hb, eight harmonics per sublane tile.
 
     The lane axis is the flattened (frame, sample) axis of the block; the
     sublane axis is the harmonic.  A tile holds 8 consecutive harmonics and
@@ -55,13 +55,18 @@ def _fill_sine_banks_cat(sin_ref, cos_ref, x, hb):
     element-pair, full-tile stores).  No periodic re-seed: a unit-magnitude
     rotation drifts ~1 ulp per application, so hb/8 ~ 23 groups accumulate
     ~3e-6 -- three orders below the f32 noise of the gradient contractions.
+
+    ``h0``: harmonic-number offset of the bank's first row (integer-valued
+    f32, possibly traced -- e.g. ``axis_index * shard`` under harmonic
+    tensor parallelism, parallel/tp.py).  The split-precision seed stays
+    exact because h0 + hb <= 2048 keeps ``hi * h`` on the 1/4096 grid.
     """
     length = x.shape[-1]
     hi_p = jnp.floor(x * QUANT) * (1.0 / QUANT)
     lo_p = x - hi_p
     k_row = jax.lax.broadcasted_iota(jnp.int32, (8, length), 0).astype(
         jnp.float32
-    )
+    ) + jnp.asarray(h0, jnp.float32)
 
     def exact(hv):
         """(sin, cos) of 2 pi h x, exact via the split-precision product."""
@@ -222,6 +227,7 @@ def _kernel_banked(
     loud_ref,  # (1, FT, 3*LANE)
     w_ref,  # (hop, 4)
     w_big_ref,  # (8, FT*hop)
+    h0_ref,  # (1, 1) SMEM: harmonic-number offset of this bank shard
     out_ref,  # (1, FT, hop)
     sin_ref,  # VMEM scratch (HB, FT*hop)
     *,
@@ -239,7 +245,7 @@ def _kernel_banked(
     length = ft * hop
     phase = phase_ref[0]
     x = phase.reshape(1, length)
-    _fill_sine_banks_cat(sin_ref, None, x, hb)
+    _fill_sine_banks_cat(sin_ref, None, x, hb, h0_ref[0, 0])
 
     a_cat = jnp.concatenate(
         [
@@ -281,6 +287,7 @@ def _pallas_forward(
     frames_per_block: int,
     resync: int = 32,
     impl: str = "banked",
+    h_start=None,  # harmonic-number offset (int or traced scalar), TP shards
 ) -> jnp.ndarray:
     b, t, hop = phase1.shape
     h = amps_pad.shape[-1]
@@ -329,6 +336,9 @@ def _pallas_forward(
         ),
         pl.BlockSpec((hop, 4), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
     ]
+    h0 = jnp.asarray(0.0 if h_start is None else h_start, jnp.float32).reshape(
+        1, 1
+    )
     if impl == "banked":
         hb = _round_up(h, 8)
         w_big = jnp.asarray(
@@ -342,11 +352,18 @@ def _pallas_forward(
         out = pl.pallas_call(
             kernel,
             in_specs=base_specs
-            + [pl.BlockSpec((8, ft * hop), lambda i, j: (0, 0), memory_space=pltpu.VMEM)],
+            + [
+                pl.BlockSpec((8, ft * hop), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            ],
             scratch_shapes=[pltpu.VMEM((hb, ft * hop), jnp.float32)],
             **common,
-        )(phase1, amps_l, amps_m, amps_r, loud_p, w, w_big)
+        )(phase1, amps_l, amps_m, amps_r, loud_p, w, w_big, h0)
     else:
+        if h_start is not None:
+            raise NotImplementedError(
+                "h_start offsets are supported by the 'banked' kernel only"
+            )
         kernel = functools.partial(
             _kernel_cheb, ft=ft, hop=hop, hp=hp, n_h=h, resync=resync
         )
@@ -365,6 +382,7 @@ def _kernel_cheb_bwd(
     loud_ref,  # (1, FT, 3*LANE)
     w_ref,  # (hop, 4)
     w_big_ref,  # (8, FT*hop): rows 0..2 tile w[:, k] across frames
+    h0_ref,  # (1, 1) SMEM: harmonic-number offset of this bank shard
     dphase_ref,  # out (1, FT, hop)
     da_l_ref,  # out (1, FT, HP)
     da_m_ref,  # out (1, FT, HP)
@@ -399,7 +417,8 @@ def _kernel_cheb_bwd(
     length = ft * hop
     phase = phase_ref[0]  # (ft, hop)
     x = phase.reshape(1, length)
-    _fill_sine_banks_cat(sin_ref, cos_ref, x, hb)
+    h0 = h0_ref[0, 0]
+    _fill_sine_banks_cat(sin_ref, cos_ref, x, hb, h0)
 
     w = w_ref[:, :3]
     wl = w[:, 0].reshape(1, hop)
@@ -458,6 +477,7 @@ def _kernel_cheb_bwd(
     h_row = TWO_PI * (
         jax.lax.broadcasted_iota(jnp.int32, (1, hb), 1).astype(jnp.float32)
         + 1.0
+        + h0
     )
     a_scaled = (a_cat.astype(jnp.float32) * h_row).astype(a_cat.dtype)
     p3 = jax.lax.dot_general(
@@ -486,6 +506,7 @@ def _pallas_backward(
     g: jnp.ndarray,  # (B, T*hop)
     frames_per_block: int,
     bank_dtype: str = "float32",
+    h_start=None,
 ):
     b, t, hop = phase1.shape
     h = amps_pad.shape[-1]
@@ -512,6 +533,9 @@ def _pallas_backward(
     )
 
     hb = _round_up(h, 8)  # bank rows: harmonics, 8 per sublane tile
+    h0 = jnp.asarray(0.0 if h_start is None else h_start, jnp.float32).reshape(
+        1, 1
+    )
     t = t_pad
     grid = (b, t // ft)
     spec_hop = pl.BlockSpec((1, ft, hop), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
@@ -538,6 +562,7 @@ def _pallas_backward(
             pl.BlockSpec((1, ft, 3 * LANE), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((hop, 4), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, ft * hop), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=(
             spec_hop,
@@ -550,7 +575,7 @@ def _pallas_backward(
             pltpu.VMEM((hb, ft * hop), jnp.dtype(bank_dtype)),  # sine bank
             pltpu.VMEM((hb, ft * hop), jnp.dtype(bank_dtype)),  # cos bank
         ],
-    )(g3, phase1, amps_l, amps_m, amps_r, loud_p, w, w_big)
+    )(g3, phase1, amps_l, amps_m, amps_r, loud_p, w, w_big, h0)
 
     dphase = dphase[:, :t_out]
     da_l = da_l[:, :t_out, :h]
@@ -568,28 +593,46 @@ def _pallas_backward(
     return dphase, d_amps_pad, d_loud_pad
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _render_h(phase1, amps_pad, loud_pad, h0, frames_per_block):
+    return _pallas_forward(
+        phase1, amps_pad, loud_pad, frames_per_block, h_start=h0
+    )
+
+
+def _fwd(phase1, amps_pad, loud_pad, h0, frames_per_block):
+    out = _pallas_forward(
+        phase1, amps_pad, loud_pad, frames_per_block, h_start=h0
+    )
+    return out, (phase1, amps_pad, loud_pad, h0)
+
+
+def _bwd(frames_per_block, residuals, g):
+    phase1, amps_pad, loud_pad, h0 = residuals
+    dphase, damps, dloud = _pallas_backward(
+        phase1, amps_pad, loud_pad, g, frames_per_block, h_start=h0
+    )
+    return dphase, damps, dloud, jnp.zeros_like(h0)
+
+
+_render_h.defvjp(_fwd, _bwd)
+
+
 def pallas_render_from_phase(
     phase1: jnp.ndarray,
     amps_pad: jnp.ndarray,
     loud_pad: jnp.ndarray,
     frames_per_block: int = 4,
+    h_start=None,
 ) -> jnp.ndarray:
-    """(B,T,hop) phase + (B,T+2,H) amps + (B,T+2) loudness -> (B,T*hop) audio."""
-    return _pallas_forward(phase1, amps_pad, loud_pad, frames_per_block)
+    """(B,T,hop) phase + (B,T+2,H) amps + (B,T+2) loudness -> (B,T*hop) audio.
 
-
-def _fwd(phase1, amps_pad, loud_pad, frames_per_block):
-    out = _pallas_forward(phase1, amps_pad, loud_pad, frames_per_block)
-    return out, (phase1, amps_pad, loud_pad)
-
-
-def _bwd(frames_per_block, residuals, g):
-    phase1, amps_pad, loud_pad = residuals
-    return _pallas_backward(phase1, amps_pad, loud_pad, g, frames_per_block)
-
-
-pallas_render_from_phase.defvjp(_fwd, _bwd)
+    ``h_start``: harmonic-number offset of this bank slice (int or traced
+    scalar, e.g. ``axis_index * shard`` under tensor parallelism) --
+    ``amps_pad[..., i]`` drives harmonic ``h_start + i + 1``.
+    """
+    h0 = jnp.asarray(0.0 if h_start is None else h_start, jnp.float32)
+    return _render_h(phase1, amps_pad, loud_pad, h0, frames_per_block)
 
 
 def oscillator_bank_pallas(

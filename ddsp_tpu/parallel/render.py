@@ -123,6 +123,7 @@ def render_controls_local(
     frame_chunk: Optional[int] = None,
     data_axis: Optional[str] = None,
     b_global: Optional[int] = None,
+    impl: Optional[str] = None,
 ) -> jnp.ndarray:
     """Per-shard synthesis body: local frames -> local audio samples.
 
@@ -136,7 +137,16 @@ def render_controls_local(
     axis name and the global batch size: the noise is then drawn at global
     batch shape and row-sliced per shard, so every row's noise is
     bit-identical to the unsharded render (the tp.py convention).
+
+    ``impl`` selects the oscillator's audio-rate stage ('xla' | 'pallas');
+    None resolves from ``conf.osc_impl`` -- on TPU the fused Pallas kernel
+    runs per shard, so time-sharded scale-out keeps the single-chip per-chip
+    rate instead of falling back to the einsum path.
     """
+    from ddsp_tpu.models.synths import osc_impl_name
+
+    if impl is None:
+        impl = osc_impl_name(conf)
     idx = jax.lax.axis_index(TIME_AXIS)
 
     def with_context(x):
@@ -160,6 +170,7 @@ def render_controls_local(
         hop=conf.hop_length,
         initial_phase=phase0,
         frame_chunk=frame_chunk,
+        impl=impl,
     )
 
     # 2. frame-local noise with global frame offsets (bit-stable)
@@ -196,6 +207,7 @@ def render_controls_sharded(
     mesh: Mesh,
     noise_key: jax.Array,
     frame_chunk: Optional[int] = None,
+    impl: Optional[str] = None,
 ) -> jnp.ndarray:
     """Render synthesis controls to audio with the frame axis sharded over
     the 'time' mesh axis.
@@ -228,7 +240,7 @@ def render_controls_sharded(
     def shard_render(rev_params, f0, amps, loud, noise_mags, key):
         return render_controls_local(
             rev_params, f0, amps, loud, noise_mags, key, conf, t_local,
-            frame_chunk,
+            frame_chunk, impl=impl,
         )
 
     return shard_render(
@@ -248,6 +260,7 @@ def render_long_audio(
     mesh: Mesh,
     noise_key: jax.Array,
     frame_chunk: Optional[int] = None,
+    impl: Optional[str] = None,
 ) -> jnp.ndarray:
     """Controller (replicated, frame rate) -> time-sharded synthesis.
 
@@ -259,5 +272,6 @@ def render_long_audio(
 
     controls, _ = controller_apply(decoder_params["controller"], batch)
     return render_controls_sharded(
-        decoder_params["reverb"], controls, conf, mesh, noise_key, frame_chunk
+        decoder_params["reverb"], controls, conf, mesh, noise_key, frame_chunk,
+        impl=impl,
     )

@@ -60,6 +60,7 @@ def render_controls_tp(
     conf: Config,
     mesh: Mesh,
     noise_key: jax.Array,
+    impl: Optional[str] = None,
 ) -> jnp.ndarray:
     """Render controls to audio with the harmonic bank sharded over 'model'.
 
@@ -72,7 +73,16 @@ def render_controls_tp(
       (B, T*hop) audio, sharded over 'data', replicated over 'model';
       numerically matches the single-device synthesis path (same math, the
       amp-renorm sum and audio sum merely reduced via psum).
+
+    ``impl`` ('xla' | 'pallas' | None = resolve from ``conf.osc_impl``):
+    with 'pallas' each shard renders its harmonic slice through the fused
+    sine-bank kernel (the bank fill seeded at ``h_start``), so TP scale-out
+    keeps the single-chip per-chip rate.
     """
+    from ddsp_tpu.models.synths import osc_impl_name
+
+    if impl is None:
+        impl = osc_impl_name(conf)
     n_model = mesh.shape[MODEL_AXIS]
     b_global = controls["f0"].shape[0]
     b_local = b_global // mesh.shape[DATA_AXIS]
@@ -116,6 +126,7 @@ def render_controls_tp(
             hop=hop,
             h_start=h0,
             normalize_amps=False,
+            impl=impl,
         )
         harm = jax.lax.psum(partial, MODEL_AXIS)
 
@@ -190,6 +201,7 @@ def render_controls_time_tp(
     mesh: Mesh,
     noise_key: jax.Array,
     frame_chunk: Optional[int] = None,
+    impl: Optional[str] = None,
 ) -> jnp.ndarray:
     """Long-render scale-out on BOTH axes: frames sharded over 'time', the
     harmonic bank over 'model'.
@@ -208,7 +220,7 @@ def render_controls_time_tp(
     over 'model' and sharded over 'time', matching the single-device render
     to float32 accuracy.
     """
-    from ddsp_tpu.models.synths import reverb_impulse
+    from ddsp_tpu.models.synths import osc_impl_name, reverb_impulse
     from ddsp_tpu.ops.fir import filtered_noise
     from ddsp_tpu.parallel.mesh import TIME_AXIS
     from ddsp_tpu.parallel.render import (
@@ -218,6 +230,8 @@ def render_controls_time_tp(
         _phase_carry,
     )
 
+    if impl is None:
+        impl = osc_impl_name(conf)
     n_time = mesh.shape[TIME_AXIS]
     n_model = mesh.shape[MODEL_AXIS]
     t_total = controls["f0"].shape[1]
@@ -274,6 +288,7 @@ def render_controls_time_tp(
             h_start=h0,
             normalize_amps=False,
             frame_chunk=frame_chunk,
+            impl=impl,
         )
         harm = jax.lax.psum(partial, MODEL_AXIS)
 
