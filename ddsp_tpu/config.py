@@ -33,6 +33,11 @@ class Config:
     crepe_capacity: str = "tiny"  # 'tiny' | 'full'
     crepe_sample_rate: int = 16000
     crepe_window: int = 1024
+    # Pitch decode: 'argmax' (reference training path, encoder.py:120-128),
+    # 'weighted' (intent-corrected local weighted average), or
+    # 'centered_ref' (bug-compatible replica of the reference's
+    # pitch_centered for exact checkpoint A/B, models/crepe.py).
+    pitch_decode: str = "argmax"
 
     # --- synthesizer --------------------------------------------------------
     n_harmonics: int = 180
@@ -50,6 +55,13 @@ class Config:
     learning_rate: float = 1e-3
     lr_plateau_patience: int = 5
     lr_plateau_factor: float = 0.1
+    # Steps averaged per plateau-monitor reading.  Semantics note: torch's
+    # ReduceLROnPlateau (reference train/train.py:21-30) counts patience in
+    # *monitor calls* on raw per-step losses; optax's reduce_on_plateau
+    # averages windows of this many steps and counts patience in windows.
+    # 1 reproduces the reference's per-step monitoring (noisier); the
+    # default 50 monitors ~epoch-averaged loss (less spurious decay).
+    lr_plateau_accumulation: int = 50
     mss_ffts: Tuple[int, ...] = (2048, 1024, 512, 256, 128, 64)
     mss_alpha: float = 1.0
     mss_overlap: float = 0.75
@@ -57,6 +69,11 @@ class Config:
     checkpoint_dir: str = "checkpoints"
     log_every: int = 50
     checkpoint_every: int = 1000
+    # Retention: keep the newest N finalized checkpoints (0 = keep all).
+    checkpoint_keep: int = 3
+    # Async saves (Orbax background commit) keep the train loop from
+    # blocking on checkpoint writes (SURVEY.md section 5).
+    checkpoint_async: bool = True
 
     # --- numerics / hardware ------------------------------------------------
     compute_dtype: str = "float32"  # dtype for neural net matmuls

@@ -220,3 +220,35 @@ def pitch_weighted(probabilities: jnp.ndarray):
     min_c, max_c = cents_map(0.0), cents_map(359.0)
     normalized_cents = (cents - min_c) / (max_c - min_c)
     return freq, harmonicity, normalized_cents
+
+
+def pitch_centered_ref(probabilities: jnp.ndarray, center=None):
+    """BUG-COMPATIBLE replica of the reference's ``pitch_centered``
+    (encoder.py:94-117), for exact A/B against reference checkpoints.
+
+    The reference builds ``selection`` with ``selection[:, :, idx]`` for
+    idx in -4..4, so Python's negative column indexing stores the offsets
+    in the order [0,1,2,3,4,-4,-3,-2,-1] while ``masked_select`` yields the
+    probabilities in ascending-bin order [-4..4]; each probability is
+    therefore paired with the WRONG offset's cents.  ``pitch_weighted``
+    implements the evident intent; this function reproduces the reference
+    bit-for-bit (tested against the torch reference in tests/test_crepe.py).
+    """
+    if center is None:
+        center = jnp.argmax(probabilities, axis=-1, keepdims=True)
+    value_offsets = jnp.arange(-4, 5)  # masked_select: ascending bins
+    cents_offsets = jnp.asarray([0, 1, 2, 3, 4, -4, -3, -2, -1])  # selection
+    padded = jnp.pad(
+        probabilities, [(0, 0)] * (probabilities.ndim - 1) + [(4, 4)]
+    )
+    idx = center + value_offsets + 4
+    values = jnp.take_along_axis(padded, idx, axis=-1)
+    cents_cols = cents_map((center + cents_offsets).astype(probabilities.dtype))
+    cents = jnp.sum(values * cents_cols, -1, keepdims=True) / jnp.sum(
+        values, -1, keepdims=True
+    )
+    freq = freq_map(cents)
+    harmonicity = jnp.take_along_axis(probabilities, center, axis=-1)
+    min_c, max_c = cents_map(0.0), cents_map(359.0)
+    normalized_cents = (cents - min_c) / (max_c - min_c)
+    return freq, harmonicity, normalized_cents

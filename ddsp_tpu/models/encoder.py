@@ -23,13 +23,34 @@ import jax
 import jax.numpy as jnp
 
 from ddsp_tpu.config import Config
-from ddsp_tpu.models.crepe import crepe_forward, pitch_argmax
+from ddsp_tpu.models.crepe import (
+    crepe_forward,
+    pitch_argmax,
+    pitch_centered_ref,
+    pitch_weighted,
+)
 from ddsp_tpu.ops.resample import resample
 from ddsp_tpu.ops.spectral import a_weighted_loudness, frame_signal
 
 
 def crepe_frame_hop(orig_len: int, resampled_len: int, conf: Config) -> int:
-    """Aligned hop at 16 kHz so CREPE frames == STFT frames (encoder.py:66-68)."""
+    """Aligned hop at 16 kHz so CREPE frames == STFT frames (encoder.py:66-68).
+
+    Guards the degenerate lengths the reference divides by unchecked:
+    ``orig_len`` must exceed ``n_fft`` (else the aligned-hop formula divides
+    by <= 0) and the resampled audio must hold at least one CREPE window.
+    """
+    if orig_len <= conf.n_fft:
+        raise ValueError(
+            f"audio too short for the f0 encoder: {orig_len} samples <= "
+            f"n_fft={conf.n_fft} (the 172-frame contract needs > n_fft; "
+            "pad inputs with models.autoencoder.feature_pad)"
+        )
+    if resampled_len < conf.crepe_window:
+        raise ValueError(
+            f"resampled audio ({resampled_len} samples) shorter than the "
+            f"CREPE window ({conf.crepe_window})"
+        )
     return int(
         conf.hop_length * (resampled_len - conf.crepe_window) / (orig_len - conf.n_fft)
     )
@@ -51,7 +72,10 @@ def f0_encoder_apply(
     x = resample(audio, conf.sample_rate, conf.crepe_sample_rate)
     mean = jnp.mean(x, axis=-1, keepdims=True)
     std = jnp.std(x, axis=-1, keepdims=True, ddof=1)  # torch unbiased std
-    x = (x - mean) / std
+    # Epsilon keeps a digitally-silent example finite (the reference
+    # divides by a raw std, encoder.py:59-60, and NaN-poisons training on
+    # silence); matches the streaming path (runtime/streaming.py).
+    x = (x - mean) / (std + 1e-8)
 
     hop = crepe_frame_hop(orig_len, x.shape[-1], conf)
     frames = frame_signal(x, conf.crepe_window, hop)  # (B, T, 1024)
@@ -59,7 +83,12 @@ def f0_encoder_apply(
     probs = crepe_forward(crepe_params, frames.reshape(b * t, w))
     probs = probs.reshape(b, t, -1)
 
-    freq, harmonicity, normalized_cents = pitch_argmax(probs)
+    decode = {
+        "argmax": pitch_argmax,
+        "weighted": pitch_weighted,
+        "centered_ref": pitch_centered_ref,  # bug-compatible A/B variant
+    }[conf.pitch_decode]
+    freq, harmonicity, normalized_cents = decode(probs)
     return {
         "f0": freq,
         "harmonicity": harmonicity,

@@ -125,16 +125,29 @@ def test_pitch_decode_maps():
     np.testing.assert_allclose(np.asarray(f), np.asarray(f2), rtol=1e-5)
 
 
-def test_pitch_weighted_matches_reference(reference_path, torch_tiny):
-    """pitch_weighted vs the reference's pitch_centered implementation."""
-    import types
-    import importlib
+def _reference_pitch_decoder(reference_path):
+    """Import the reference F0Encoder's pitch decode methods.
 
-    try:
-        enc_mod = importlib.import_module("model.autoencoder.encoder")
-    except ModuleNotFoundError as e:
-        pytest.skip(f"reference encoder needs {e.name} (not installed)")
-    # Build the minimal object surface F0Encoder.pitch_* need
+    The reference encoder module imports librosa/torchaudio at module level
+    but the pitch_* methods never touch them, so missing packages are
+    stubbed; the decode code under test is the genuine reference code.
+    """
+    import importlib
+    import sys
+    import types
+
+    for name in ("librosa", "torchaudio", "torchaudio.transforms"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    if not hasattr(sys.modules["torchaudio"], "transforms"):
+        sys.modules["torchaudio"].transforms = sys.modules["torchaudio.transforms"]
+    if not hasattr(sys.modules["torchaudio.transforms"], "Resample"):
+        sys.modules["torchaudio.transforms"].Resample = object
+    for fn in ("A_weighting", "fft_frequencies"):
+        if not hasattr(sys.modules["librosa"], fn):
+            setattr(sys.modules["librosa"], fn, lambda *a, **k: None)
+    enc_mod = importlib.import_module("model.autoencoder.encoder")
+
     class Dummy:
         cents_map = staticmethod(enc_mod.F0Encoder.cents_map)
         freq_map = staticmethod(enc_mod.F0Encoder.freq_map)
@@ -147,12 +160,52 @@ def test_pitch_weighted_matches_reference(reference_path, torch_tiny):
         pitch_weighted = enc_mod.F0Encoder.pitch_weighted
         pitch_centered = enc_mod.F0Encoder.pitch_centered
 
+    return Dummy()
+
+
+def test_pitch_centered_ref_matches_reference_bitwise(reference_path):
+    """pitch_centered_ref is the bug-compatible replica: it must match the
+    reference's pitch_weighted/pitch_centered to float32 noise, INCLUDING
+    the index-pairing bug (encoder.py:96-110 pairs each probability with
+    the wrong offset's cents via negative-index assignment order)."""
+    from ddsp_tpu.models.crepe import pitch_centered_ref
+
+    d = _reference_pitch_decoder(reference_path)
     rng = np.random.default_rng(3)
     probs = rng.uniform(0, 1, (2, 5, 360)).astype(np.float32)
-    d = Dummy()
     with torch.no_grad():
         rf, rh, rnc = d.pitch_weighted(torch.from_numpy(probs))
-    f, h, nc = pitch_weighted(probs)
-    np.testing.assert_allclose(np.asarray(f), rf.numpy(), rtol=1e-4)
-    np.testing.assert_allclose(np.asarray(h), rh.numpy(), rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(nc), rnc.numpy(), rtol=1e-4, atol=1e-5)
+    fc, hc, ncc = pitch_centered_ref(probs)
+    np.testing.assert_allclose(np.asarray(fc), rf.numpy(), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(hc), rh.numpy(), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ncc), rnc.numpy(), atol=1e-6)
+
+
+def test_pitch_weighted_fixes_reference_pairing_bug(reference_path):
+    """pitch_weighted implements the evident intent.  Two checks: (a) it
+    matches a numpy oracle of the intended +-4-bin weighted average; (b) it
+    genuinely DIFFERS from the reference's buggy pairing on asymmetric
+    probabilities (if they agreed, the 'fix' would be fiction)."""
+    d = _reference_pitch_decoder(reference_path)
+    rng = np.random.default_rng(3)
+    probs = rng.uniform(0, 1, (2, 5, 360)).astype(np.float32)
+
+    # (a) intended-semantics oracle
+    center = probs.argmax(-1)
+    padded = np.pad(probs, ((0, 0), (0, 0), (4, 4)))
+    want_f = np.zeros_like(center, np.float64)
+    for b in range(probs.shape[0]):
+        for t in range(probs.shape[1]):
+            c = center[b, t]
+            offs = np.arange(-4, 5)
+            vals = padded[b, t, c + offs + 4]
+            cents = (c + offs) * 20.0 + 1997.3794084376191
+            want_f[b, t] = 10 * 2 ** ((vals @ cents / vals.sum()) / 1200)
+    f, _, _ = pitch_weighted(probs)
+    np.testing.assert_allclose(np.asarray(f)[..., 0], want_f, rtol=1e-4)
+
+    # (b) the buggy reference decode must disagree measurably
+    with torch.no_grad():
+        rf, _, _ = d.pitch_weighted(torch.from_numpy(probs))
+    rel = np.abs(np.asarray(f) - rf.numpy()) / np.abs(rf.numpy())
+    assert rel.max() > 1e-3, "reference pairing bug not observable?"

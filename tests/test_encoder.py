@@ -67,3 +67,53 @@ def test_loudness_silence_vs_tone():
     loud = np.asarray(loudness_encoder_apply(feature_pad(silence, conf), conf))
     assert loud.shape == (1, 172, 1)
     assert loud.max() < 0.05
+
+
+def test_silent_example_features_and_train_step_finite():
+    """Digitally-silent audio must produce finite features and a finite
+    train step.  The reference normalizes by a raw std
+    (encoder.py:59-60) and NaN-poisons training on silence; our offline
+    path carries the same epsilon as the streaming path."""
+    from ddsp_tpu.data.dataset import extract_features
+    from ddsp_tpu.models.crepe import crepe_init
+    from ddsp_tpu.training.trainer import init_state, make_train_step
+
+    conf = Config(
+        sample_rate=4000,
+        n_fft=256,
+        hop_length=64,
+        example_duration=0.5,
+        n_harmonics=16,
+        n_noise_filters=17,
+        decoder_mlp_units=32,
+        decoder_mlp_layers=1,
+        decoder_gru_units=32,
+        batch_size=4,
+        mss_ffts=(256, 128),
+    )
+    crepe = crepe_init(jax.random.PRNGKey(0), capacity="tiny")
+    silent = np.zeros((4, conf.example_length), np.float32)
+    feats = extract_features(crepe, conf, examples=silent)
+    for k, v in feats.items():
+        assert np.isfinite(np.asarray(v)).all(), f"non-finite {k}"
+
+    import jax.numpy as jnp
+
+    state = init_state(jax.random.PRNGKey(1), conf)
+    batch = {
+        k: jnp.asarray(feats[k])
+        for k in ("f0", "normalized_cents", "loudness", "audio")
+    }
+    state, metrics = jax.jit(make_train_step(conf))(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["grad_norm"]))
+
+
+def test_crepe_frame_hop_rejects_degenerate_lengths():
+    """orig_len <= n_fft divided by zero/negative in the reference
+    (encoder.py:66-68); here it must raise a clear error."""
+    conf = CONF
+    with pytest.raises(ValueError, match="too short"):
+        crepe_frame_hop(conf.n_fft, 1024, conf)
+    with pytest.raises(ValueError, match="CREPE window"):
+        crepe_frame_hop(conf.n_fft + 1000, conf.crepe_window - 1, conf)
