@@ -86,6 +86,12 @@ def run_file_loopback(
 
     Returns {'blocks', 'missed_deadlines', 'realtime_factor'} so CI can
     assert on streaming health without an audio server.
+
+    Offline alignment: the streamer runs one hop behind its input (the
+    first block out is pure pipeline-fill latency), so the leading zero
+    block is dropped and the final buffered frame is flushed -- the output
+    covers exactly the ``n_blocks * hop`` input samples consumed, with the
+    tail frame rendered instead of silently lost.
     """
     import time
 
@@ -107,6 +113,8 @@ def run_file_loopback(
     for i in range(n_blocks):
         out.append(synth.process(mono[i * hop : (i + 1) * hop]))
     wall = time.perf_counter() - t0
+    if out:
+        out = out[1:] + [synth.flush()]  # drop latency block, render tail
     rendered = np.concatenate(out) if out else np.zeros(0, np.float32)
     peak = np.abs(rendered).max()
     write_wav(out_path, rendered / max(1.0, peak / 0.9), conf.sample_rate)

@@ -206,6 +206,7 @@ class BlockSynthesizer:
         key = jax.random.PRNGKey(noise_seed)
         self._feat_step = make_feature_stream_step(crepe_params, conf)
         self._synth_step = make_synth_stream_step(params, conf, key)
+        self._synth_flush = make_synth_stream_flush(params, conf, key)
         self._feat_state = feature_stream_init(conf)
         self._synth_state = synth_stream_init(conf)
         self.missed_deadlines = 0
@@ -228,3 +229,17 @@ class BlockSynthesizer:
         if time.perf_counter() - t0 >= self.hop / self.conf.sample_rate:
             self.missed_deadlines += 1
         return out
+
+    def flush(self) -> np.ndarray:
+        """Render the final buffered frame (right-edge clamp, offline parity).
+
+        The step path runs one frame behind its input (frame t renders only
+        once frame t+1 is known, so interpolation context is exact); at
+        stream end the last consumed frame is still pending.  Call this once
+        after the final ``process`` to emit that tail hop -- without it the
+        render is one hop short (the reference's RT loop just drops it,
+        rt/synth.py:44-56).  Compilation is not pre-warmed: flushing happens
+        after the deadline-bound callback stream has ended.
+        """
+        out, self._synth_state = self._synth_flush(self._synth_state)
+        return np.asarray(out)[0]

@@ -112,3 +112,61 @@ def test_block_synthesizer_end_to_end(tmp_path):
     # a silent synthesizer must not pass: the pipeline-filled tail of the
     # render (after the 2-hop latency) must carry actual signal
     assert np.abs(out[:, 4 * conf.hop_length :]).max() > 1e-6
+
+
+def test_loopback_flushes_tail_and_preserves_length(tmp_path, snr):
+    """Loopback output must cover exactly the consumed input samples (the
+    round-1 version dropped the final hop) and equal the offline decoder
+    render of the streamed features."""
+    from ddsp_tpu.data.audio_io import read_wav, write_wav
+    from ddsp_tpu.models.controller import decoder_apply
+    from ddsp_tpu.runtime.jack_io import run_file_loopback
+    from ddsp_tpu.runtime.streaming import (
+        feature_stream_init,
+        make_feature_stream_step,
+    )
+
+    conf = CONF
+    sr = conf.sample_rate
+    n_blocks = 24
+    hop = conf.hop_length
+    rng = np.random.default_rng(11)
+    mono = (0.4 * np.sin(2 * np.pi * 180 * np.arange(n_blocks * hop) / sr)
+            + 0.01 * rng.standard_normal(n_blocks * hop)).astype(np.float32)
+    in_path = str(tmp_path / "in.wav")
+    write_wav(in_path, mono, sr)
+    mono_q = read_wav(in_path)[0][0]  # what the loopback actually consumes
+
+    params = decoder_init(jax.random.PRNGKey(0), conf)
+    crepe = crepe_init(jax.random.PRNGKey(1), "tiny")
+    out_path = str(tmp_path / "out.wav")
+    stats = run_file_loopback(params, crepe, conf, in_path, out_path)
+    assert stats["blocks"] == n_blocks
+    out, sr2 = read_wav(out_path)
+    assert sr2 == sr
+    # length contract: output covers every consumed input sample
+    assert out.shape[-1] == n_blocks * hop == len(mono_q)
+
+    # oracle: stream the same blocks through the feature streamer, then
+    # render ALL n_blocks frames offline (the tail frame included)
+    feat_step = make_feature_stream_step(crepe, conf)
+    fstate = feature_stream_init(conf)
+    frames = []
+    for i in range(n_blocks):
+        frame, fstate = feat_step(
+            fstate, jnp.asarray(mono_q[i * hop : (i + 1) * hop]).reshape(1, -1)
+        )
+        frames.append(frame)
+    feats = {
+        k: jnp.concatenate([f[k] for f in frames], axis=1) for k in frames[0]
+    }
+    offline = np.asarray(
+        decoder_apply(params, feats, conf, jax.random.PRNGKey(0))
+    )[0]
+    # compare after unit-peak normalization (the loopback wav is
+    # peak-limited and 16-bit quantized)
+    o = offline / max(1e-9, np.abs(offline).max())
+    g = out[0] / max(1e-9, np.abs(out[0]).max())
+    assert snr(o, g) > 55.0
+    # the tail hop specifically must carry the rendered final frame
+    assert snr(o[-hop:], g[-hop:]) > 40.0
