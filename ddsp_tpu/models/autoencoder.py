@@ -40,14 +40,27 @@ def autoencoder_init(
     return {"decoder": decoder_init(kd, conf), "crepe": crepe}
 
 
-def encode(params: Dict, audio: jnp.ndarray, conf: Config) -> Dict[str, jnp.ndarray]:
-    """(B, L) audio -> feature dict at frame rate (with the contract padding)."""
-    return encoder_apply(params["crepe"], feature_pad(audio, conf), conf)
+def encode(
+    params: Dict, audio: jnp.ndarray, conf: Config, freeze_crepe: bool = True
+) -> Dict[str, jnp.ndarray]:
+    """(B, L) audio -> feature dict at frame rate (with the contract padding).
+
+    ``freeze_crepe=False`` lets gradients flow into the CREPE weights
+    (analysis-by-synthesis finetuning, training/trainer.make_finetune_step;
+    the reference only comments on this option, encoder.py:32-34).
+    """
+    return encoder_apply(
+        params["crepe"], feature_pad(audio, conf), conf, freeze_crepe
+    )
 
 
 def autoencoder_apply(
-    params: Dict, audio: jnp.ndarray, conf: Config, noise_key: jax.Array
+    params: Dict,
+    audio: jnp.ndarray,
+    conf: Config,
+    noise_key: jax.Array,
+    freeze_crepe: bool = True,
 ) -> jnp.ndarray:
     """Reconstruct audio: encode -> decode (autoencoder.py:17-22)."""
-    features = encode(params, audio, conf)
+    features = encode(params, audio, conf, freeze_crepe)
     return decoder_apply(params["decoder"], features, conf, noise_key)

@@ -33,6 +33,11 @@ def main(argv=None) -> None:
         # fraction of examples held out for validation; their mean MSS loss
         # is logged as eval_loss (reference: limit_val_batches=0.01)
         "eval_split": 0.0,
+        # analysis-by-synthesis steps AFTER the feature-based training:
+        # decoder AND CREPE optimized through the encoder (needs
+        # --pitch_decode=weighted); the reference only comments on this
+        # (encoder.py:32-34)
+        "finetune_crepe": 0,
     }
     if any(a in ("-h", "--help") for a in argv):
         import dataclasses
@@ -93,6 +98,23 @@ def main(argv=None) -> None:
         eval_features=eval_features,
     )
     print("final:", metrics)
+
+    if extra["finetune_crepe"]:
+        from ddsp_tpu.training.trainer import finetune, save_checkpoint
+
+        print(f"finetuning CREPE for {extra['finetune_crepe']} steps ...")
+        ft_state, ft_metrics = finetune(
+            conf,
+            features["audio"],
+            extra["finetune_crepe"],
+            state.params,
+            crepe,
+            log_path=f"{conf.checkpoint_dir}/finetune_metrics.jsonl",
+        )
+        save_checkpoint(
+            f"{conf.checkpoint_dir}/finetune", ft_state, conf
+        )
+        print("finetune final:", ft_metrics)
 
 
 if __name__ == "__main__":

@@ -44,14 +44,21 @@ class TrainState(NamedTuple):
 
 
 def make_optimizer(conf: Config) -> optax.GradientTransformationExtraArgs:
-    """Adam + loss-plateau LR decay (torch ReduceLROnPlateau semantics:
-    factor 0.1, patience in monitored steps, reference train/train.py:21-30)."""
+    """Adam + loss-plateau LR decay.
+
+    Parity note (reference train/train.py:21-30): torch ReduceLROnPlateau
+    decays when ``patience`` consecutive *monitor calls* fail to improve
+    the raw loss; optax's reduce_on_plateau first averages the loss over
+    ``accumulation_size`` steps and counts patience in those windows.  The
+    window size is ``conf.lr_plateau_accumulation`` (1 = per-step
+    monitoring, the reference's cadence; default 50 ~ an epoch average).
+    """
     return optax.chain(
         optax.adam(conf.learning_rate),
         optax.contrib.reduce_on_plateau(
             factor=conf.lr_plateau_factor,
             patience=conf.lr_plateau_patience,
-            accumulation_size=50,  # average windows ~ an epoch of steps
+            accumulation_size=max(1, conf.lr_plateau_accumulation),
         ),
     )
 
@@ -134,6 +141,113 @@ def make_train_step(conf: Config, loss=None):
     return train_step
 
 
+def loss_fn_e2e(
+    params: Any,
+    batch: Dict[str, jnp.ndarray],
+    conf: Config,
+    noise_key: jax.Array,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Analysis-by-synthesis loss: audio -> encoder (CREPE differentiable)
+    -> decoder -> MSS vs the same audio.
+
+    ``params`` is the autoencoder pytree {'decoder', 'crepe'} (the offline
+    :func:`loss_fn` trains the decoder alone on precomputed features, the
+    reference's regime, train/train.py:32-37).
+    """
+    from ddsp_tpu.models.autoencoder import autoencoder_apply
+
+    pred = autoencoder_apply(
+        params, batch["audio"], conf, noise_key, freeze_crepe=False
+    )
+    loss_dtype = (
+        None
+        if conf.loss_matmul_dtype == "float32"
+        else jnp.dtype(conf.loss_matmul_dtype)
+    )
+    scales = mss_loss_per_scale(
+        pred,
+        batch["audio"],
+        conf.mss_ffts,
+        conf.mss_alpha,
+        conf.mss_overlap,
+        matmul_dtype=loss_dtype,
+    )
+    return sum(scales.values()), scales
+
+
+def init_finetune_state(
+    key: jax.Array, conf: Config, crepe_checkpoint: Optional[str] = None
+) -> TrainState:
+    """TrainState over the full autoencoder pytree {'decoder', 'crepe'}."""
+    from ddsp_tpu.models.autoencoder import autoencoder_init
+
+    kp, kr = jax.random.split(key)
+    params = autoencoder_init(kp, conf, crepe_checkpoint)
+    opt_state = make_optimizer(conf).init(params)
+    return TrainState(jnp.zeros((), jnp.int32), params, opt_state, kr)
+
+
+def make_finetune_step(conf: Config):
+    """Analysis-by-synthesis train step: CREPE finetunes with the decoder.
+
+    The reference freezes CREPE and leaves finetuning as a comment
+    (reference model/autoencoder/encoder.py:32-34); here it is a working
+    path.  Requires a differentiable pitch decode: 'argmax' emits hard bins
+    (zero gradient into CREPE), so ``conf.pitch_decode`` must be 'weighted'
+    or 'centered_ref'.
+    """
+    if conf.pitch_decode == "argmax":
+        raise ValueError(
+            "analysis-by-synthesis finetuning needs a differentiable pitch "
+            "decode: set pitch_decode='weighted' (or 'centered_ref'); "
+            "'argmax' passes zero gradient into CREPE"
+        )
+    return make_train_step(conf, loss=loss_fn_e2e)
+
+
+def finetune(
+    conf: Config,
+    audio: np.ndarray,
+    num_steps: int,
+    decoder_params: Any,
+    crepe_params: Any,
+    log_path: Optional[str] = None,
+    seed: Optional[int] = None,
+) -> Tuple[TrainState, Dict[str, float]]:
+    """Analysis-by-synthesis finetune loop over raw (N, L) audio examples.
+
+    Starts from trained decoder params + CREPE weights and optimizes BOTH
+    through the encoder (make_finetune_step).  Returns the final state
+    (``state.params['crepe']`` holds the finetuned CREPE).
+    """
+    from ddsp_tpu.data.dataset import batch_iterator
+
+    step_fn = jax.jit(make_finetune_step(conf), donate_argnums=0)
+    params = {"decoder": decoder_params, "crepe": crepe_params}
+    key = jax.random.PRNGKey(conf.seed if seed is None else seed)
+    key, kr = jax.random.split(key)
+    state = TrainState(
+        jnp.zeros((), jnp.int32), params, make_optimizer(conf).init(params), kr
+    )
+    logger = MetricsLogger(log_path)
+    last: Dict[str, float] = {}
+    steps_done = 0
+    t0 = time.time()
+    while steps_done < num_steps:
+        key, ke = jax.random.split(key)
+        for batch in batch_iterator({"audio": audio}, conf.batch_size, ke):
+            state, metrics = step_fn(state, batch)
+            steps_done += 1
+            if steps_done % conf.log_every == 0 or steps_done == num_steps:
+                last = {k: float(v) for k, v in metrics.items()}
+                last["steps_per_s"] = steps_done / (time.time() - t0)
+                logger.log(int(state.step), last)
+            if steps_done >= num_steps:
+                break
+    logger.close()
+    return state, last
+
+
 def make_train_scan(conf: Config, steps_per_call: int):
     """Device-resident training: ``steps_per_call`` optimizer steps inside one
     jitted ``lax.scan``, with each minibatch gathered on-device from the full
@@ -207,16 +321,81 @@ def _held_out_loss(eval_step, params, eval_data, batch_size, key) -> float:
 
 
 # --- checkpointing -----------------------------------------------------------
-def save_checkpoint(ckpt_dir: str, state: TrainState, conf: Config) -> str:
-    """Versioned Orbax checkpoint: ckpt_dir/step_<N>/ holding the full state."""
+_ASYNC_CKPTR = None
+
+
+def _async_checkpointer():
+    """Process-wide AsyncCheckpointer (one background commit thread)."""
+    global _ASYNC_CKPTR
     import orbax.checkpoint as ocp
 
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_checkpoints() -> None:
+    """Block until every in-flight async checkpoint save has committed."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
+def _prune_checkpoints(ckpt_dir: str, keep: int) -> None:
+    """Delete the oldest finalized step_* dirs, keeping the newest ``keep``.
+
+    Only exact ``step_N`` names are touched, so an in-flight async save
+    (Orbax's ``...orbax-checkpoint-tmp-...`` directory) is never pruned.
+    """
+    import shutil
+
+    if keep <= 0 or not os.path.isdir(ckpt_dir):
+        return
+    steps = sorted(
+        (d for d in os.listdir(ckpt_dir) if re.fullmatch(r"step_\d+", d)),
+        key=lambda d: int(d.split("_")[1]),
+    )
+    for d in steps[:-keep] if len(steps) > keep else []:
+        shutil.rmtree(os.path.join(ckpt_dir, d), ignore_errors=True)
+
+
+def save_checkpoint(
+    ckpt_dir: str, state: TrainState, conf: Config, block: Optional[bool] = None
+) -> str:
+    """Versioned Orbax checkpoint: ckpt_dir/step_<N>/ holding the full state.
+
+    By default (``conf.checkpoint_async``) the save commits on a background
+    thread so the train loop never blocks on checkpoint IO (SURVEY.md
+    section 5 names async checkpointing explicitly); ``block=True`` forces
+    a synchronous commit.  Old checkpoints beyond ``conf.checkpoint_keep``
+    are pruned (oldest first; the previous round kept every step_* dir
+    forever).  Call :func:`wait_for_checkpoints` before process exit or
+    same-process restore.
+    """
+    import orbax.checkpoint as ocp
+
+    if block is None:
+        block = not conf.checkpoint_async
     path = os.path.abspath(os.path.join(ckpt_dir, f"step_{int(state.step):08d}"))
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, {"params": state.params, "opt_state": state.opt_state,
-                          "step": state.step, "rng": state.rng})
+    payload = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "step": state.step,
+        "rng": state.rng,
+    }
+    ckptr = _async_checkpointer()
+    # A re-save of the same step (e.g. final step after a periodic save)
+    # must not collide with itself.
+    if not os.path.exists(path):
+        ckptr.save(path, args=ocp.args.StandardSave(payload))
+        if block:
+            ckptr.wait_until_finished()
     with open(os.path.join(ckpt_dir, "config.json"), "w") as f:
         f.write(conf.to_json())
+    # Prune to the retention budget.  If the new save is still in flight
+    # (not yet renamed to its final step_N name), reserve one slot for it.
+    if conf.checkpoint_keep:
+        in_flight = 0 if os.path.exists(path) else 1
+        _prune_checkpoints(ckpt_dir, max(1, conf.checkpoint_keep - in_flight))
     return path
 
 
@@ -241,6 +420,7 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
 def restore_checkpoint(path: str, template: TrainState) -> TrainState:
     import orbax.checkpoint as ocp
 
+    wait_for_checkpoints()  # same-process restore after an async save
     with ocp.StandardCheckpointer() as ckptr:
         restored = ckptr.restore(
             os.path.abspath(path),
@@ -356,6 +536,7 @@ def fit(
         if dump_audio_dir and (epoch % dump_every == 0 or steps_done >= num_steps):
             _dump_reconstructions(state, conf, features, dump_audio_dir, epoch)
     logger.close()
+    wait_for_checkpoints()
     return state, last
 
 
@@ -446,6 +627,7 @@ def _fit_scan(
         if dump_audio_dir and (calls % dump_every == 0 or steps_done >= num_steps):
             _dump_reconstructions(state, conf, features, dump_audio_dir, calls)
     logger.close()
+    wait_for_checkpoints()
     return state, last
 
 
