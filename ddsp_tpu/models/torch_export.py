@@ -71,6 +71,16 @@ def state_dict_from_decoder_params(params: Dict, conf) -> Dict:
     sd["harmonics.harmonics"] = torch.arange(1, n_h + 1, step=1)
     sd["harmonics.last_phases"] = torch.zeros(n_h, dtype=torch.int64)
     length = int(np.asarray(params["reverb"]["noise"]).shape[-1])
+    if length != int(conf.sample_rate):
+        import warnings
+
+        warnings.warn(
+            f"reverb IR length {length} != sample_rate {conf.sample_rate}: "
+            "the reference Reverb hardwires a 1 s (sample_rate-tap) IR "
+            "(reference model/ddsp/reverb.py:10-22), so its Decoder will "
+            "fail a strict=True load of this checkpoint",
+            stacklevel=2,
+        )
     sd["reverb.t"] = (torch.arange(length) / conf.sample_rate).reshape(1, -1)
     sd["reverb.buffer"] = torch.zeros(1, length)
     return sd

@@ -79,15 +79,25 @@ def reconstruct_file(
     conf: Config,
     crepe_checkpoint: str = "",
     lightning_ckpt: str = "",
+    decoder_params=None,
 ) -> dict:
-    """Reconstruct one file; returns {'seconds', 'wall_s', 'rms_in', 'rms_out'}."""
+    """Reconstruct one file; returns {'seconds', 'wall_s', 'rms_in', 'rms_out'}.
+
+    ``decoder_params``: pre-loaded decoder pytree; None loads from
+    ``conf.checkpoint_dir`` / ``lightning_ckpt`` (callers that also export
+    should load once and pass it in).
+    """
     import jax
 
     from ddsp_tpu.data.audio_io import write_wav
     from ddsp_tpu.models.autoencoder import autoencoder_apply
     from ddsp_tpu.models.crepe import crepe_init, load_torch_checkpoint
 
-    decoder = load_decoder_params(conf, lightning_ckpt)
+    decoder = (
+        decoder_params
+        if decoder_params is not None
+        else load_decoder_params(conf, lightning_ckpt)
+    )
     if crepe_checkpoint:
         crepe = load_torch_checkpoint(crepe_checkpoint)
     else:
@@ -122,9 +132,13 @@ def main(argv=None) -> None:
     extra = {"crepe_checkpoint": "", "lightning_ckpt": "", "export_torch": ""}
     flags = []
     for a in rest:
-        key = a[2:].split("=", 1)[0]
+        key, sep, value = a[2:].partition("=")
         if key in extra:
-            extra[key] = a.split("=", 1)[1]
+            if not sep:
+                raise SystemExit(
+                    f"expected --{key}=value, got {a!r} (the flag takes a path)"
+                )
+            extra[key] = value
         else:
             flags.append(a)
     # Base config: the checkpoint's own config.json when present, so a bare
@@ -141,22 +155,19 @@ def main(argv=None) -> None:
                     base = Config.from_json(f.read())
     conf = Config.from_flags(flags, base=base)
 
+    decoder = load_decoder_params(conf, extra["lightning_ckpt"])
     stats = reconstruct_file(
         in_path,
         out_path,
         conf,
         crepe_checkpoint=extra["crepe_checkpoint"],
-        lightning_ckpt=extra["lightning_ckpt"],
+        decoder_params=decoder,
     )
     print(json.dumps(stats))
     if extra["export_torch"]:
         from ddsp_tpu.models.torch_export import save_torch_decoder
 
-        save_torch_decoder(
-            load_decoder_params(conf, extra["lightning_ckpt"]),
-            conf,
-            extra["export_torch"],
-        )
+        save_torch_decoder(decoder, conf, extra["export_torch"])
         print(f"decoder exported to {extra['export_torch']}")
 
 
