@@ -33,6 +33,10 @@ class StyleTransferConfig(NamedTuple):
     content_weight: float = 1.0  # alpha (reference style_transfer.py:121)
     style_weight: float = 1.0e13  # beta (:122; gram normalization matches)
     n_steps: int = 1000  # reference LBFGS max_iter (:124)
+    # LBFGS step scale (the reference's film_ui exposes lr, LBFGS(lr=1),
+    # style_transfer.py:124).  0 = optax's zoom linesearch (adaptive step,
+    # the validated default); > 0 = fixed step like torch LBFGS(lr=...).
+    learning_rate: float = 0.0
     gl_iters: int = 64
     sample_rate: int = 44100
 
@@ -108,7 +112,9 @@ def style_transfer_spec(
         s = jnp.mean((gram_matrix(feats) - s_target) ** 2)
         return conf.content_weight * c + conf.style_weight * s, (c, s)
 
-    opt = optax.lbfgs()
+    opt = optax.lbfgs(
+        learning_rate=conf.learning_rate if conf.learning_rate > 0 else None
+    )
 
     @jax.jit
     def step(spec, opt_state, ext, c_target, s_target):

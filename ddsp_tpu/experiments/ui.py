@@ -101,6 +101,11 @@ def main() -> None:  # pragma: no cover - interactive UI
     with st.sidebar:
         alpha = st.number_input("content weight (alpha)", value=1.0, format="%f")
         beta = st.number_input("style weight (beta)", value=1e13, format="%g")
+        # the reference film_ui exposes the LBFGS lr (film_ui.py); 0 keeps
+        # optax's adaptive zoom linesearch, > 0 = fixed torch-style step
+        lr = st.number_input(
+            "learning rate (0 = auto linesearch)", value=0.0, format="%f"
+        )
         n_steps = int(st.number_input("optimizer steps", value=1000, step=50))
         kernel = int(st.number_input("conv kernel size", value=17, step=2))
         n_features = int(st.number_input("conv features", value=4096, step=256))
@@ -166,7 +171,7 @@ def main() -> None:  # pragma: no cover - interactive UI
         conf = StyleTransferConfig(
             n_fft=n_fft, hop=hop, kernel_size=kernel, n_features=n_features,
             content_weight=alpha, style_weight=beta, n_steps=n_steps,
-            gl_iters=gl_iters, sample_rate=sr,
+            learning_rate=lr, gl_iters=gl_iters, sample_rate=sr,
         )
         st.pyplot(spectrogram_figure(
             np.asarray(log_spectrogram(jnp.asarray(content), conf)), sr, hop))
