@@ -1,14 +1,36 @@
-"""Benchmark: synth forward render throughput on the real chip.
+"""Benchmark suite: one JSON line per metric on the real chip.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Each line is {"metric": ..., "value": N, "unit": ..., "vs_baseline": N},
+covering every headline row of BASELINE.md (round-1 VERDICT Weak #1 asked
+for driver-verifiable evidence beyond the single synth-forward number):
 
-Metric: audio samples/s/chip through the full decoder forward (controller
--> oscillator bank + filtered noise -> learned reverb) at the reference's
-production shape (batch 16 x 2 s examples, 172 frames, 180 harmonics,
-44.1 kHz).  Baseline: the BASELINE.md target of 100x realtime per chip
-(4.41 M samples/s) -- the reference publishes no numbers (SURVEY.md §6),
-so vs_baseline > 1.0 means the >100x-realtime north star is beaten.
+  synth_forward_samples_per_s_per_chip  full decoder forward, batch 16 x 2 s
+  train_step_ms                         decoder->synth->6-scale MSS->Adam
+  stream_hop_ms                         the reference's whole JACK callback
+  encode_samples_per_s_per_chip         CREPE-tiny f0 + loudness extraction
+  long_render_samples_per_s             one 60 s stream, batch 1 (serving)
+  osc_kernel_speedup_vs_xla             fused Pallas sine-bank vs XLA einsum
+
+Baselines (the reference publishes no numbers, SURVEY.md section 6, so each
+vs_baseline is against its implicit requirement or the BASELINE.json north
+star):
+
+* throughput metrics: 100x realtime per chip = 4.41 M audio samples/s
+  (vs_baseline > 1 beats the north star; for train_step_ms the ratio is
+  audio-samples *learned* per second vs the same target).
+* stream_hop_ms: the reference's real-time deadline hop/44100 s = 11.6 ms
+  (reference rt/synth.py:53-55); vs_baseline = deadline / measured
+  (the headroom factor, > 1 means real-time safe).
+* osc_kernel_speedup_vs_xla: the XLA einsum path on identical inputs
+  (ratio, > 1 means the hand kernel beats the compiler); the absolute
+  FLOP/s roofline lives in scripts/roofline.py + docs/PERFORMANCE.md.
+
+Measurement method (CLAUDE.md): N executions chained inside one jit with a
+real output->input dependency (lax.scan), so the tunnel's 100-400 ms
+synchronous round trip and any caching cannot distort device time; median
+of varied-input trials after a compile+warm-up call.  Throughput chains use
+the marginal (T_HI - T_LO)/(HI - LO) between two chain lengths to subtract
+the fixed per-call cost.
 """
 
 import json
@@ -20,15 +42,50 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+RT_TARGET = 100  # x realtime per chip (BASELINE.json north star)
+V5E_BF16_PEAK = 197e12  # FLOP/s
 
-def main():
+
+def _note(msg):
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
+def _emit(metric, value, unit, vs_baseline):
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(float(value), 4),
+                "unit": unit,
+                "vs_baseline": round(float(vs_baseline), 4),
+            }
+        ),
+        flush=True,
+    )
+
+
+def _median_time(fn, args_for_trial, iters, trials=4, drop_first=True):
+    """Median per-iteration wall time of a pre-compiled chained call."""
+    import jax
+
+    times = []
+    for trial in range(trials):
+        args = args_for_trial(trial)
+        t0 = time.perf_counter()
+        r = fn(*args)
+        jax.block_until_ready(r)
+        times.append((time.perf_counter() - t0) / iters)
+        assert np.isfinite(float(np.asarray(r).ravel()[0]))
+    return float(np.median(times[1:] if drop_first and len(times) > 2 else times))
+
+
+def bench_synth_forward(conf):
+    """Full decoder forward at production shape, marginal-chain method."""
     import jax
     import jax.numpy as jnp
 
-    from ddsp_tpu.config import Config
     from ddsp_tpu.models.controller import decoder_apply, decoder_init
 
-    conf = Config()
     batch_size = 16
     rng = np.random.default_rng(0)
     t = conf.frames_per_example
@@ -43,13 +100,6 @@ def main():
     }
     params = decoder_init(jax.random.PRNGKey(0), conf)
     key = jax.random.PRNGKey(1)
-
-    # Measure pure device time: N forwards inside one jit, serialized by an
-    # output->input dependency, so remote-dispatch latency and any host-side
-    # effects cannot distort the number; per-iteration time is the marginal
-    # (T_HI - T_LO) / (HI - LO) between two chain lengths, which subtracts
-    # the tunnel's fixed per-call round trip (~100-400 ms on this harness —
-    # a link property, not device time; same method as scripts/profile_*).
     lo, hi = 50, 200
 
     def make_many(iters):
@@ -59,16 +109,18 @@ def main():
                 b2 = dict(batch, loudness=batch["loudness"] + carry * 1e-12)
                 out = decoder_apply(params, b2, conf, jax.random.fold_in(key, i))
                 return jnp.sum(out * out), None
+
             acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(iters))
             return acc
+
         return many
 
     runs = {n: make_many(n) for n in (lo, hi)}
-    for n in (lo, hi):  # compile + warm up
+    for n in (lo, hi):
         jax.block_until_ready(runs[n](params, batch, key))
     times = []
-    for trial in range(4):  # fresh key per trial; first trial can report a
-        k = jax.random.fold_in(key, 1000 + trial)  # spuriously-early ready
+    for trial in range(4):
+        k = jax.random.fold_in(key, 1000 + trial)
         ts = {}
         for n in (lo, hi):
             t0 = time.perf_counter()
@@ -78,19 +130,306 @@ def main():
             assert np.isfinite(float(r)), float(r)
         times.append((ts[hi] - ts[lo]) / (hi - lo))
     dt = float(np.median(times[1:]))
-
-    samples_per_s = batch_size * conf.example_length / dt
-    baseline = 100 * conf.sample_rate  # 100x realtime per chip target
-    print(
-        json.dumps(
-            {
-                "metric": "synth_forward_samples_per_s_per_chip",
-                "value": round(samples_per_s, 1),
-                "unit": "audio samples/s",
-                "vs_baseline": round(samples_per_s / baseline, 3),
-            }
-        )
+    sps = batch_size * conf.example_length / dt
+    _emit(
+        "synth_forward_samples_per_s_per_chip",
+        round(sps, 1),
+        "audio samples/s",
+        sps / (RT_TARGET * conf.sample_rate),
     )
+
+
+def bench_train_step(conf):
+    """Jitted train step (full loss incl. target STFTs), batch 16."""
+    import jax
+    import jax.numpy as jnp
+
+    from ddsp_tpu.training.trainer import init_state, make_train_step
+
+    iters = 30
+    batch_size = conf.batch_size
+    step = make_train_step(conf)
+    rng = np.random.default_rng(0)
+    t = conf.frames_per_example
+    batch = {
+        "f0": jnp.asarray(rng.uniform(100, 600, (batch_size, t, 1)).astype(np.float32)),
+        "normalized_cents": jnp.asarray(
+            rng.uniform(0, 1, (batch_size, t, 1)).astype(np.float32)
+        ),
+        "loudness": jnp.asarray(
+            rng.uniform(0, 1, (batch_size, t, 1)).astype(np.float32)
+        ),
+        "audio": jnp.asarray(
+            (0.1 * rng.standard_normal((batch_size, conf.example_length))).astype(
+                np.float32
+            )
+        ),
+    }
+
+    @jax.jit
+    def many(state, batch, eps):
+        def body(carry, i):
+            b = dict(batch, loudness=batch["loudness"] + eps * 1e-12)
+            st, metrics = step(carry, b)
+            return st, metrics["loss"]
+
+        st, losses = jax.lax.scan(body, state, jnp.arange(iters))
+        return losses[-1]
+
+    state = init_state(jax.random.PRNGKey(0), conf)
+    jax.block_until_ready(many(state, batch, jnp.float32(0)))
+    dt = _median_time(
+        lambda s, b, e: many(s, b, e),
+        lambda trial: (state, batch, jnp.float32(trial + 1)),
+        iters,
+    )
+    learned_sps = batch_size * conf.example_length / dt
+    _emit(
+        "train_step_ms",
+        1e3 * dt,
+        "ms/step",
+        learned_sps / (RT_TARGET * conf.sample_rate),
+    )
+
+
+def bench_stream_hop(conf, crepe_params):
+    """Whole streaming hop: mic block -> CREPE f0 + loudness -> controller
+    -> osc/noise/reverb -> audio block (the reference JACK callback)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ddsp_tpu.models.controller import decoder_init
+    from ddsp_tpu.runtime.streaming import (
+        feature_stream_init,
+        make_feature_stream_step,
+        make_synth_stream_step,
+        synth_stream_init,
+    )
+
+    dec_params = decoder_init(jax.random.PRNGKey(0), conf)
+    iters = 100
+
+    @jax.jit
+    def many(dec_params, crepe_params, key, seed_block):
+        feat_step = make_feature_stream_step(crepe_params, conf)
+        synth_step = make_synth_stream_step(dec_params, conf, key)
+
+        def body(carry, i):
+            fs, ss, block = carry
+            frame, fs = feat_step(fs, block)
+            out, ss = synth_step(ss, frame)
+            return (fs, ss, jnp.tanh(out)), None  # feedback dependency
+
+        carry, _ = jax.lax.scan(
+            body,
+            (feature_stream_init(conf), synth_stream_init(conf), seed_block),
+            jnp.arange(iters),
+        )
+        return jnp.sum(carry[2])
+
+    key = jax.random.PRNGKey(1)
+    rng = np.random.default_rng(0)
+    seed = jnp.asarray(0.1 * rng.standard_normal((1, conf.hop_length)), jnp.float32)
+    jax.block_until_ready(many(dec_params, crepe_params, key, seed))
+    dt = _median_time(
+        lambda *a: many(*a),
+        lambda trial: (
+            dec_params,
+            crepe_params,
+            key,
+            jnp.asarray(0.1 * rng.standard_normal((1, conf.hop_length)), jnp.float32),
+        ),
+        iters,
+    )
+    deadline = conf.hop_length / conf.sample_rate
+    _emit("stream_hop_ms", 1e3 * dt, "ms/hop", deadline / dt)
+
+
+def bench_encode(conf, crepe_params):
+    """Offline feature extraction (dataset build), batch 16 x 2 s."""
+    import jax
+    import jax.numpy as jnp
+
+    from ddsp_tpu.models.autoencoder import feature_pad
+    from ddsp_tpu.models.encoder import encoder_apply
+
+    batch, iters = 16, 20
+
+    @jax.jit
+    def many(crepe_params, audio):
+        def body(carry, i):
+            feats = encoder_apply(crepe_params, feature_pad(carry, conf), conf)
+            eps = 1e-12 * jnp.mean(feats["loudness"])
+            return carry + eps, feats["f0"][:, 0, 0]
+
+        final, f0s = jax.lax.scan(body, audio, jnp.arange(iters))
+        return jnp.sum(f0s) + jnp.sum(final * 1e-20)
+
+    rng = np.random.default_rng(0)
+    t = np.arange(conf.example_length) / conf.sample_rate
+    audio = jnp.asarray(
+        0.3 * np.sin(2 * np.pi * 220 * t)[None] * np.ones((batch, 1)), jnp.float32
+    )
+    jax.block_until_ready(many(crepe_params, audio))
+
+    def trial_args(trial):
+        noisy = audio + 0.01 * jnp.asarray(
+            rng.standard_normal(audio.shape), jnp.float32
+        )
+        return (crepe_params, noisy)
+
+    dt = _median_time(lambda c, a: many(c, a), trial_args, iters)
+    sps = batch * conf.example_length / dt
+    _emit(
+        "encode_samples_per_s_per_chip",
+        round(sps, 1),
+        "audio samples/s",
+        sps / (RT_TARGET * conf.sample_rate),
+    )
+
+
+def bench_long_render(conf):
+    """One 60 s single-stream render (serving latency; GRU runs ~5.2k
+    sequential frame steps)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ddsp_tpu.models.controller import decoder_apply, decoder_init
+
+    frames = int(60 * conf.sample_rate) // conf.hop_length  # 5168
+    rng = np.random.default_rng(0)
+    batch = {
+        "f0": jnp.asarray(rng.uniform(100, 600, (1, frames, 1)).astype(np.float32)),
+        "normalized_cents": jnp.asarray(
+            rng.uniform(0, 1, (1, frames, 1)).astype(np.float32)
+        ),
+        "loudness": jnp.asarray(rng.uniform(0, 1, (1, frames, 1)).astype(np.float32)),
+    }
+    params = decoder_init(jax.random.PRNGKey(0), conf)
+    key = jax.random.PRNGKey(1)
+    iters = 5
+
+    @jax.jit
+    def many(params, batch, key):
+        def body(carry, i):
+            b2 = dict(batch, loudness=batch["loudness"] + carry * 1e-12)
+            out = decoder_apply(params, b2, conf, jax.random.fold_in(key, i))
+            return jnp.sum(out * out), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(iters))
+        return acc
+
+    jax.block_until_ready(many(params, batch, key))
+    dt = _median_time(
+        lambda p, b, k: many(p, b, k),
+        lambda trial: (params, batch, jax.random.fold_in(key, 1000 + trial)),
+        iters,
+    )
+    sps = frames * conf.hop_length / dt
+    _emit(
+        "long_render_samples_per_s",
+        round(sps, 1),
+        "audio samples/s",
+        sps / (RT_TARGET * conf.sample_rate),
+    )
+
+
+def bench_osc_kernel(conf):
+    """Pallas sine-bank kernel vs the XLA einsum path at production shape.
+
+    Both consume the same precomputed phase/amps/loudness, so the ratio
+    isolates the audio-rate stage (the arithmetic core, reference
+    harmonic_oscillator.py:45-50).  Baseline = the XLA path (ratio 1.0);
+    the full roofline (MXU contraction FLOP/s, VPU bank-fill bound, MFU)
+    lives in scripts/roofline.py + docs/PERFORMANCE.md.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ddsp_tpu.ops.oscillator import _render_from_phase
+    from ddsp_tpu.ops.pallas.oscillator import pallas_render_from_phase
+
+    if jax.default_backend() != "tpu":
+        return  # interpreter numbers would be meaningless
+    b, t, hop, h = 16, conf.frames_per_example, conf.hop_length, conf.n_harmonics
+    rng = np.random.default_rng(0)
+    phase = jnp.asarray(rng.uniform(0, 1, (b, t, hop)).astype(np.float32))
+    amps = jnp.asarray(
+        rng.uniform(0, 1, (b, t + 2, h)).astype(np.float32) / h
+    )
+    loud = jnp.asarray(rng.uniform(0, 1, (b, t + 2)).astype(np.float32))
+    iters = 100
+
+    def chain(render):
+        @jax.jit
+        def many(phase, amps, loud):
+            def body(carry, i):
+                out = render(carry, amps, loud)
+                p = carry + 1e-12 * jnp.mean(out)
+                return p - jnp.floor(p), None
+
+            final, _ = jax.lax.scan(body, phase, jnp.arange(iters))
+            return jnp.sum(final)
+
+        return many
+
+    runs = {
+        "pallas": chain(lambda p, a, l: pallas_render_from_phase(p, a, l)),
+        "xla": chain(lambda p, a, l: _render_from_phase(p, a, l, h)),
+    }
+    dts = {}
+    for name, many in runs.items():
+        jax.block_until_ready(many(phase, amps, loud))
+        dts[name] = _median_time(
+            lambda p, a, l, m=many: m(p, a, l),
+            lambda trial: (
+                jnp.asarray(rng.uniform(0, 1, (b, t, hop)).astype(np.float32)),
+                amps,
+                loud,
+            ),
+            iters,
+        )
+    _emit(
+        "osc_kernel_speedup_vs_xla",
+        dts["xla"] / dts["pallas"],
+        "x (same inputs, fwd)",
+        dts["xla"] / dts["pallas"],
+    )
+
+
+def main():
+    import jax
+
+    from ddsp_tpu.config import Config
+    from ddsp_tpu.models.crepe import crepe_init, load_torch_checkpoint
+
+    conf = Config()
+    tiny = "/root/reference/crepe/pretrained/tiny.pth"
+    crepe_params = (
+        load_torch_checkpoint(tiny)
+        if os.path.exists(tiny)
+        else crepe_init(jax.random.PRNGKey(2), capacity=conf.crepe_capacity)
+    )
+
+    failures = 0
+    for name, fn in (
+        ("synth_forward", lambda: bench_synth_forward(conf)),
+        ("train_step", lambda: bench_train_step(conf)),
+        ("stream_hop", lambda: bench_stream_hop(conf, crepe_params)),
+        ("encode", lambda: bench_encode(conf, crepe_params)),
+        ("long_render", lambda: bench_long_render(conf)),
+        ("osc_kernel", lambda: bench_osc_kernel(conf)),
+    ):
+        _note(f"{name}: compiling + measuring...")
+        try:
+            fn()
+        except Exception as e:  # one broken metric must not hide the rest
+            failures += 1
+            _note(f"{name}: FAILED: {type(e).__name__}: {e}")
+        else:
+            _note(f"{name}: done")
+    if failures:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
