@@ -14,6 +14,16 @@ Usage: python multihost_worker.py <proc_id> <nproc> <port> <out.json> <mode>
   mode 'crash':  process 1 dies (os._exit) before step 3; process 0 must
                  *detect* the dead peer (heartbeat/collective failure) and
                  error out rather than hang — fail-stop semantics.
+  mode 'sp':     run 3 DP x SP train steps on a (data=2, time=2) global
+                 mesh — the STFT-halo psums and phase-carry/reverb-halo
+                 ppermutes cross the process boundary (what DCN would
+                 carry on real multi-host TPU).  Writes losses + checksum.
+  mode 'render': time-sharded render on a (data=1, time=4) mesh — every
+                 'time'-axis hop (phase carry, control halo, reverb
+                 overlap-save halo) is a cross-process ppermute for the
+                 middle boundary.  Each worker writes the SNR of its
+                 addressable output shards vs a locally-computed
+                 single-device oracle.
 """
 
 import json
@@ -40,12 +50,16 @@ GLOBAL_BATCH = 8
 NUM_STEPS = 3
 
 
-def make_batch(conf):
-    """Deterministic global batch; every process builds the same one."""
+def make_batch(conf, t=None):
+    """Deterministic global batch; every process builds the same one.
+
+    ``t`` overrides the frame count (the SP mode needs T divisible by the
+    'time' axis; audio length is then t*hop, not example_length)."""
     import numpy as np
 
     rng = np.random.default_rng(0)
-    t = conf.frames_per_example
+    length = conf.example_length if t is None else t * conf.hop_length
+    t = conf.frames_per_example if t is None else t
     return {
         "f0": rng.uniform(100, 400, (GLOBAL_BATCH, t, 1)).astype(np.float32),
         "normalized_cents": rng.uniform(0, 1, (GLOBAL_BATCH, t, 1)).astype(
@@ -53,9 +67,151 @@ def make_batch(conf):
         ),
         "loudness": rng.uniform(0, 1, (GLOBAL_BATCH, t, 1)).astype(np.float32),
         "audio": (
-            0.1 * rng.standard_normal((GLOBAL_BATCH, conf.example_length))
+            0.1 * rng.standard_normal((GLOBAL_BATCH, length))
         ).astype(np.float32),
     }
+
+
+def make_render_controls(conf, b=1, t=64):
+    """Deterministic frame-rate synth controls; every process builds the
+    same ones (mirrors tests/test_parallel._controls)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    return {
+        "f0": rng.uniform(80, 500, (b, t, 1)).astype(np.float32),
+        "c": rng.uniform(0.01, 1, (b, t, conf.n_harmonics)).astype(np.float32),
+        "a": rng.uniform(0, 1, (b, t, 1)).astype(np.float32),
+        "H": rng.uniform(0, 1, (b, t, conf.n_noise_filters)).astype(np.float32),
+    }
+
+
+def run_sp(conf, bail):
+    """DP x SP training over a (data=2, time=2) cross-process mesh."""
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ddsp_tpu.parallel.mesh import make_mesh, replicated
+    from ddsp_tpu.parallel.sp import make_sp_train_step
+    from ddsp_tpu.training.trainer import init_state
+
+    mesh = make_mesh(n_data=2, n_time=2)
+    batch = make_batch(conf, t=16)  # T divisible by 'time'; shard >= n_fft/2+1
+    # Device grid rows ('data') align with processes (2 local devices each),
+    # so each process contributes its row's batch entries; 'time' splits the
+    # audio-sample / frame axis WITHIN + ACROSS the row as sharded.
+    rows = GLOBAL_BATCH // jax.process_count()
+    pid = jax.process_index()
+    gbatch = {}
+    for k, v in batch.items():
+        spec = P("data", "time") if k == "audio" else P("data")
+        sh = NamedSharding(mesh, spec)
+        gbatch[k] = jax.make_array_from_process_local_data(
+            sh, v[pid * rows : (pid + 1) * rows]
+        )
+
+    rep = replicated(mesh)
+    state = init_state(jax.random.PRNGKey(0), conf)
+    state = jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(rep, np.asarray(x)),
+        state,
+    )
+    step = make_sp_train_step(conf, mesh)
+
+    losses = []
+    for _ in range(NUM_STEPS):
+        state, metrics = step(state, gbatch)
+        losses.append(float(metrics["loss"]))
+    checksum = float(
+        sum(
+            np.abs(np.asarray(x.addressable_data(0))).sum()
+            for x in jax.tree.leaves(state.params)
+        )
+    )
+    bail(
+        {
+            "losses": losses,
+            "checksum": checksum,
+            "process_count": jax.process_count(),
+            "global_devices": len(jax.devices()),
+        }
+    )
+
+
+def run_render(conf, bail):
+    """Time-sharded render over a (data=1, time=4) cross-process mesh:
+    phase carry + control/reverb halos ppermute across the process
+    boundary.  Compares local output shards against a locally-computed
+    single-device oracle and reports the worst SNR."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ddsp_tpu.models.synths import reverb_impulse
+    from ddsp_tpu.ops.fir import fft_convolve, filtered_noise
+    from ddsp_tpu.ops.oscillator import oscillator_bank
+    from ddsp_tpu.parallel.mesh import make_mesh
+    from ddsp_tpu.parallel.render import render_controls_sharded
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(n_data=1, n_time=4)
+    t = 64
+    controls = make_render_controls(conf, t=t)
+    key = jax.random.PRNGKey(3)
+    rng = np.random.default_rng(4)
+    reverb = {
+        "noise": jnp.asarray(
+            rng.uniform(-1, 1, (conf.ir_length,)).astype(np.float32)
+        ),
+        "decay": jnp.asarray(4.0),
+        "wet": jnp.asarray(0.5),
+    }
+
+    # Single-device oracle on local data (replicated math, no collectives).
+    harm, _ = oscillator_bank(
+        controls["f0"], controls["c"], controls["a"],
+        sample_rate=conf.sample_rate, hop=conf.hop_length,
+    )
+    noise = filtered_noise(jnp.asarray(controls["H"]), key, conf.hop_length)
+    imp = reverb_impulse(reverb, conf)
+    want = np.asarray(
+        fft_convolve(harm + noise, imp[None, :], kernel_len=imp.shape[-1])
+    )
+
+    shard_t = t // 4
+    gcontrols = {
+        k: jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P(None, "time", None)),
+            v[:, jax.process_index() * 2 * shard_t :][:, : 2 * shard_t],
+        )
+        for k, v in controls.items()
+    }
+    rep = NamedSharding(mesh, P())
+    greverb, gkey = jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(rep, np.asarray(x)),
+        (reverb, key),
+    )
+    out = render_controls_sharded(greverb, gcontrols, conf, mesh, gkey)
+
+    # SNR of every addressable output shard vs the oracle's same slice.
+    worst = float("inf")
+    for shard in out.addressable_shards:
+        got = np.asarray(shard.data)
+        ref = want[shard.index]
+        err = ref - got
+        snr = 10 * np.log10(
+            (np.sum(ref**2) + 1e-20) / (np.sum(err**2) + 1e-20)
+        )
+        worst = min(worst, float(snr))
+    bail(
+        {
+            "snr_db": worst,
+            "n_local_shards": len(out.addressable_shards),
+            "process_count": jax.process_count(),
+            "global_devices": len(jax.devices()),
+        }
+    )
 
 
 def main():
@@ -101,6 +257,13 @@ def main():
     )
     assert jax.process_count() == nproc, jax.process_count()
     conf = Config(**CONF_KWARGS)
+
+    if mode == "sp":
+        run_sp(conf, bail)
+        return
+    if mode == "render":
+        run_render(conf, bail)
+        return
     mesh = make_mesh(n_data=len(jax.devices()))
 
     # Global batch: every process materializes the full batch, hands its

@@ -91,6 +91,62 @@ def test_two_process_dp_matches_single(tmp_path):
     np.testing.assert_allclose(d0["losses"], want, rtol=1e-3, atol=1e-3)
 
 
+def test_two_process_sp_train_matches_single(tmp_path):
+    """DP x SP train step across 2 processes (data=2 x time=2 global mesh):
+    the sharded-MSS halo psums and the phase-carry / reverb-halo ppermutes
+    cross the process boundary — exactly what DCN carries on real
+    multi-host TPU.  Losses and updated params must match the
+    single-process oracle (round-1 VERDICT #6; the reference is single-GPU,
+    train/train.py:50)."""
+    results = _launch("sp", tmp_path)
+    for rc, data, log in results:
+        assert rc == 0, f"worker failed rc={rc}\n{log[-2000:]}"
+        assert data and "losses" in data, (data, log[-2000:])
+    (rc0, d0, _), (rc1, d1, _) = results
+    assert d0["process_count"] == 2 and d0["global_devices"] == 4
+    np.testing.assert_allclose(d0["losses"], d1["losses"], rtol=1e-6)
+    np.testing.assert_allclose(d0["checksum"], d1["checksum"], rtol=1e-6)
+
+    import jax
+
+    from ddsp_tpu.config import Config
+    from ddsp_tpu.training.trainer import init_state, make_train_step
+    from tests.multihost_worker import CONF_KWARGS, NUM_STEPS, make_batch
+
+    conf = Config(**CONF_KWARGS)
+    batch = {
+        k: jax.numpy.asarray(v) for k, v in make_batch(conf, t=16).items()
+    }
+    state = init_state(jax.random.PRNGKey(0), conf)
+    step = jax.jit(make_train_step(conf))
+    want = []
+    for _ in range(NUM_STEPS):
+        state, metrics = step(state, batch)
+        want.append(float(metrics["loss"]))
+    np.testing.assert_allclose(d0["losses"], want, rtol=1e-3, atol=1e-3)
+
+    checksum = float(
+        sum(
+            np.abs(np.asarray(x)).sum()
+            for x in jax.tree_util.tree_leaves(state.params)
+        )
+    )
+    np.testing.assert_allclose(d0["checksum"], checksum, rtol=1e-3)
+
+
+def test_two_process_time_sharded_render(tmp_path):
+    """Time-sharded render across 2 processes (data=1 x time=4): the
+    middle 'time' boundary's phase carry, control halo, and reverb
+    overlap-save halo all ppermute between processes.  Every worker's
+    local output shards must match its single-device oracle > 70 dB."""
+    results = _launch("render", tmp_path)
+    for rc, data, log in results:
+        assert rc == 0, f"worker failed rc={rc}\n{log[-2000:]}"
+        assert data and "snr_db" in data, (data, log[-2000:])
+        assert data["n_local_shards"] >= 1
+        assert data["snr_db"] > 70.0, data
+
+
 def test_kill_a_host_is_detected(tmp_path):
     """Process 1 dies mid-run; process 0 must fail-stop, not hang."""
     results = _launch("crash", tmp_path)
