@@ -10,6 +10,8 @@ for driver-verifiable evidence beyond the single synth-forward number):
   encode_samples_per_s_per_chip         CREPE-tiny f0 + loudness extraction
   long_render_samples_per_s             one 60 s stream, batch 1 (serving)
   osc_kernel_speedup_vs_xla             fused Pallas sine-bank vs XLA einsum
+  osc_fwd_fraction_of_speed_of_light    measured vs v5e fill+contract bound
+  mss_loss_fwdbwd_mfu                   STFT matmuls vs v5e bf16 MXU peak
 
 Baselines (the reference publishes no numbers, SURVEY.md section 6, so each
 vs_baseline is against its implicit requirement or the BASELINE.json north
@@ -22,8 +24,11 @@ star):
   (reference rt/synth.py:53-55); vs_baseline = deadline / measured
   (the headroom factor, > 1 means real-time safe).
 * osc_kernel_speedup_vs_xla: the XLA einsum path on identical inputs
-  (ratio, > 1 means the hand kernel beats the compiler); the absolute
-  FLOP/s roofline lives in scripts/roofline.py + docs/PERFORMANCE.md.
+  (ratio, > 1 means the hand kernel beats the compiler).
+* roofline metrics: osc_fwd_fraction_of_speed_of_light and
+  mss_loss_fwdbwd_mfu report measured time against the v5e hardware
+  ceilings (op accounting in ddsp_tpu/utils/roofline.py; the full
+  report incl. osc fwd+bwd is scripts/roofline.py + docs/PERFORMANCE.md).
 
 Measurement method (CLAUDE.md): N executions chained inside one jit with a
 real output->input dependency (lax.scan), so the tunnel's 100-400 ms
@@ -64,19 +69,41 @@ def _emit(metric, value, unit, vs_baseline):
     )
 
 
-def _median_time(fn, args_for_trial, iters, trials=4, drop_first=True):
-    """Median per-iteration wall time of a pre-compiled chained call."""
+def _marginal_time(make_many, args_for_trial, trials=5, target_s=2.0):
+    """Marginal per-iteration time (T_HI - T_LO)/(HI - LO) between two
+    chain lengths, adaptively sized so the HI-LO work difference is
+    ~``target_s`` of device time.
+
+    The marginal subtracts the tunnel's fixed per-call round trip; a plain
+    total/iters divide smears 100-400 ms of link latency into the kernel
+    time (CLAUDE.md), and an undersized chain drowns a sub-ms kernel in
+    the round trip's jitter.  ``make_many(iters)`` must return a jitted
+    callable chaining ``iters`` dependent executions.
+    """
     import jax
 
+    probe = make_many(40)
+    jax.block_until_ready(probe(*args_for_trial(0)))  # compile + warm
+    t0 = time.perf_counter()
+    jax.block_until_ready(probe(*args_for_trial(0)))
+    rough = (time.perf_counter() - t0) / 40  # upper bound (incl. round trip)
+    hi = int(min(6000, max(160, 3 * target_s / rough)))
+    lo = hi // 4
+
+    runs = {n: make_many(n) for n in (lo, hi)}
+    for n in (lo, hi):
+        jax.block_until_ready(runs[n](*args_for_trial(0)))  # compile + warm
     times = []
     for trial in range(trials):
         args = args_for_trial(trial)
-        t0 = time.perf_counter()
-        r = fn(*args)
-        jax.block_until_ready(r)
-        times.append((time.perf_counter() - t0) / iters)
-        assert np.isfinite(float(np.asarray(r).ravel()[0]))
-    return float(np.median(times[1:] if drop_first and len(times) > 2 else times))
+        ts = {}
+        for n in (lo, hi):
+            t0 = time.perf_counter()
+            r = jax.block_until_ready(runs[n](*args))
+            ts[n] = time.perf_counter() - t0
+            assert np.isfinite(float(np.asarray(r).ravel()[0]))
+        times.append((ts[hi] - ts[lo]) / (hi - lo))
+    return float(np.median(times[1:]))
 
 
 def bench_synth_forward(conf):
@@ -146,7 +173,6 @@ def bench_train_step(conf):
 
     from ddsp_tpu.training.trainer import init_state, make_train_step
 
-    iters = 30
     batch_size = conf.batch_size
     step = make_train_step(conf)
     rng = np.random.default_rng(0)
@@ -166,22 +192,22 @@ def bench_train_step(conf):
         ),
     }
 
-    @jax.jit
-    def many(state, batch, eps):
-        def body(carry, i):
-            b = dict(batch, loudness=batch["loudness"] + eps * 1e-12)
-            st, metrics = step(carry, b)
-            return st, metrics["loss"]
+    def make_many(iters):
+        @jax.jit
+        def many(state, batch, eps):
+            def body(carry, i):
+                b = dict(batch, loudness=batch["loudness"] + eps * 1e-12)
+                st, metrics = step(carry, b)
+                return st, metrics["loss"]
 
-        st, losses = jax.lax.scan(body, state, jnp.arange(iters))
-        return losses[-1]
+            st, losses = jax.lax.scan(body, state, jnp.arange(iters))
+            return losses[-1]
+
+        return many
 
     state = init_state(jax.random.PRNGKey(0), conf)
-    jax.block_until_ready(many(state, batch, jnp.float32(0)))
-    dt = _median_time(
-        lambda s, b, e: many(s, b, e),
-        lambda trial: (state, batch, jnp.float32(trial + 1)),
-        iters,
+    dt = _marginal_time(
+        make_many, lambda trial: (state, batch, jnp.float32(trial + 1))
     )
     learned_sps = batch_size * conf.example_length / dt
     _emit(
@@ -207,39 +233,38 @@ def bench_stream_hop(conf, crepe_params):
     )
 
     dec_params = decoder_init(jax.random.PRNGKey(0), conf)
-    iters = 100
 
-    @jax.jit
-    def many(dec_params, crepe_params, key, seed_block):
-        feat_step = make_feature_stream_step(crepe_params, conf)
-        synth_step = make_synth_stream_step(dec_params, conf, key)
+    def make_many(iters):
+        @jax.jit
+        def many(dec_params, crepe_params, key, seed_block):
+            feat_step = make_feature_stream_step(crepe_params, conf)
+            synth_step = make_synth_stream_step(dec_params, conf, key)
 
-        def body(carry, i):
-            fs, ss, block = carry
-            frame, fs = feat_step(fs, block)
-            out, ss = synth_step(ss, frame)
-            return (fs, ss, jnp.tanh(out)), None  # feedback dependency
+            def body(carry, i):
+                fs, ss, block = carry
+                frame, fs = feat_step(fs, block)
+                out, ss = synth_step(ss, frame)
+                return (fs, ss, jnp.tanh(out)), None  # feedback dependency
 
-        carry, _ = jax.lax.scan(
-            body,
-            (feature_stream_init(conf), synth_stream_init(conf), seed_block),
-            jnp.arange(iters),
-        )
-        return jnp.sum(carry[2])
+            carry, _ = jax.lax.scan(
+                body,
+                (feature_stream_init(conf), synth_stream_init(conf), seed_block),
+                jnp.arange(iters),
+            )
+            return jnp.sum(carry[2])
+
+        return many
 
     key = jax.random.PRNGKey(1)
     rng = np.random.default_rng(0)
-    seed = jnp.asarray(0.1 * rng.standard_normal((1, conf.hop_length)), jnp.float32)
-    jax.block_until_ready(many(dec_params, crepe_params, key, seed))
-    dt = _median_time(
-        lambda *a: many(*a),
+    dt = _marginal_time(
+        make_many,
         lambda trial: (
             dec_params,
             crepe_params,
             key,
             jnp.asarray(0.1 * rng.standard_normal((1, conf.hop_length)), jnp.float32),
         ),
-        iters,
     )
     deadline = conf.hop_length / conf.sample_rate
     _emit("stream_hop_ms", 1e3 * dt, "ms/hop", deadline / dt)
@@ -253,24 +278,26 @@ def bench_encode(conf, crepe_params):
     from ddsp_tpu.models.autoencoder import feature_pad
     from ddsp_tpu.models.encoder import encoder_apply
 
-    batch, iters = 16, 20
+    batch = 16
 
-    @jax.jit
-    def many(crepe_params, audio):
-        def body(carry, i):
-            feats = encoder_apply(crepe_params, feature_pad(carry, conf), conf)
-            eps = 1e-12 * jnp.mean(feats["loudness"])
-            return carry + eps, feats["f0"][:, 0, 0]
+    def make_many(iters):
+        @jax.jit
+        def many(crepe_params, audio):
+            def body(carry, i):
+                feats = encoder_apply(crepe_params, feature_pad(carry, conf), conf)
+                eps = 1e-12 * jnp.mean(feats["loudness"])
+                return carry + eps, feats["f0"][:, 0, 0]
 
-        final, f0s = jax.lax.scan(body, audio, jnp.arange(iters))
-        return jnp.sum(f0s) + jnp.sum(final * 1e-20)
+            final, f0s = jax.lax.scan(body, audio, jnp.arange(iters))
+            return jnp.sum(f0s) + jnp.sum(final * 1e-20)
+
+        return many
 
     rng = np.random.default_rng(0)
     t = np.arange(conf.example_length) / conf.sample_rate
     audio = jnp.asarray(
         0.3 * np.sin(2 * np.pi * 220 * t)[None] * np.ones((batch, 1)), jnp.float32
     )
-    jax.block_until_ready(many(crepe_params, audio))
 
     def trial_args(trial):
         noisy = audio + 0.01 * jnp.asarray(
@@ -278,7 +305,7 @@ def bench_encode(conf, crepe_params):
         )
         return (crepe_params, noisy)
 
-    dt = _median_time(lambda c, a: many(c, a), trial_args, iters)
+    dt = _marginal_time(make_many, trial_args)
     sps = batch * conf.example_length / dt
     _emit(
         "encode_samples_per_s_per_chip",
@@ -307,23 +334,23 @@ def bench_long_render(conf):
     }
     params = decoder_init(jax.random.PRNGKey(0), conf)
     key = jax.random.PRNGKey(1)
-    iters = 5
 
-    @jax.jit
-    def many(params, batch, key):
-        def body(carry, i):
-            b2 = dict(batch, loudness=batch["loudness"] + carry * 1e-12)
-            out = decoder_apply(params, b2, conf, jax.random.fold_in(key, i))
-            return jnp.sum(out * out), None
+    def make_many(iters):
+        @jax.jit
+        def many(params, batch, key):
+            def body(carry, i):
+                b2 = dict(batch, loudness=batch["loudness"] + carry * 1e-12)
+                out = decoder_apply(params, b2, conf, jax.random.fold_in(key, i))
+                return jnp.sum(out * out), None
 
-        acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(iters))
-        return acc
+            acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(iters))
+            return acc
 
-    jax.block_until_ready(many(params, batch, key))
-    dt = _median_time(
-        lambda p, b, k: many(p, b, k),
+        return many
+
+    dt = _marginal_time(
+        make_many,
         lambda trial: (params, batch, jax.random.fold_in(key, 1000 + trial)),
-        iters,
     )
     sps = frames * conf.hop_length / dt
     _emit(
@@ -351,49 +378,106 @@ def bench_osc_kernel(conf):
 
     if jax.default_backend() != "tpu":
         return  # interpreter numbers would be meaningless
+    from ddsp_tpu.utils.roofline import osc_speed_of_light_s
+
     b, t, hop, h = 16, conf.frames_per_example, conf.hop_length, conf.n_harmonics
     rng = np.random.default_rng(0)
-    phase = jnp.asarray(rng.uniform(0, 1, (b, t, hop)).astype(np.float32))
     amps = jnp.asarray(
         rng.uniform(0, 1, (b, t + 2, h)).astype(np.float32) / h
     )
     loud = jnp.asarray(rng.uniform(0, 1, (b, t + 2)).astype(np.float32))
-    iters = 100
 
     def chain(render):
-        @jax.jit
-        def many(phase, amps, loud):
-            def body(carry, i):
-                out = render(carry, amps, loud)
-                p = carry + 1e-12 * jnp.mean(out)
-                return p - jnp.floor(p), None
+        def make_many(iters):
+            @jax.jit
+            def many(phase, amps, loud):
+                def body(carry, i):
+                    out = render(carry, amps, loud)
+                    p = carry + 1e-12 * jnp.mean(out)
+                    return p - jnp.floor(p), None
 
-            final, _ = jax.lax.scan(body, phase, jnp.arange(iters))
-            return jnp.sum(final)
+                final, _ = jax.lax.scan(body, phase, jnp.arange(iters))
+                return jnp.sum(final)
 
-        return many
+            return many
 
-    runs = {
-        "pallas": chain(lambda p, a, l: pallas_render_from_phase(p, a, l)),
-        "xla": chain(lambda p, a, l: _render_from_phase(p, a, l, h)),
-    }
-    dts = {}
-    for name, many in runs.items():
-        jax.block_until_ready(many(phase, amps, loud))
-        dts[name] = _median_time(
-            lambda p, a, l, m=many: m(p, a, l),
-            lambda trial: (
-                jnp.asarray(rng.uniform(0, 1, (b, t, hop)).astype(np.float32)),
-                amps,
-                loud,
-            ),
-            iters,
+        return make_many
+
+    def trial_args(trial):
+        return (
+            jnp.asarray(rng.uniform(0, 1, (b, t, hop)).astype(np.float32)),
+            amps,
+            loud,
         )
+
+    dts = {}
+    for name, render in (
+        ("pallas", lambda p, a, l: pallas_render_from_phase(p, a, l)),
+        ("xla", lambda p, a, l: _render_from_phase(p, a, l, h)),
+    ):
+        dts[name] = _marginal_time(chain(render), trial_args)
     _emit(
         "osc_kernel_speedup_vs_xla",
         dts["xla"] / dts["pallas"],
         "x (same inputs, fwd)",
         dts["xla"] / dts["pallas"],
+    )
+    # Roofline: measured vs the kernel's fill+contract speed-of-light bound
+    # (ddsp_tpu/utils/roofline.py documents the op accounting; 1.0 would be
+    # the v5e's VPU+MXU light speed for this op).
+    _emit(
+        "osc_fwd_fraction_of_speed_of_light",
+        osc_speed_of_light_s(b, t, hop, h) / dts["pallas"],
+        "fraction of v5e fill+contract bound",
+        osc_speed_of_light_s(b, t, hop, h) / dts["pallas"],
+    )
+
+
+def bench_mss_mfu(conf):
+    """MSS-loss fwd+bwd MFU: achieved STFT-matmul FLOP/s vs the v5e bf16
+    MXU peak (the training loss's compute core; accounting in
+    ddsp_tpu/utils/roofline.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ddsp_tpu.losses import mss_loss
+    from ddsp_tpu.utils.roofline import MXU_BF16, mss_flops
+
+    b, length = 16, conf.example_length
+    dtype = jnp.bfloat16 if conf.loss_matmul_dtype == "bfloat16" else None
+    rng = np.random.default_rng(0)
+    true = jnp.asarray(0.1 * rng.standard_normal((b, length)), jnp.float32)
+
+    def make_many(iters):
+        @jax.jit
+        def many(pred, true):
+            def loss(p):
+                return mss_loss(
+                    p, true, conf.mss_ffts, conf.mss_alpha, conf.mss_overlap,
+                    matmul_dtype=dtype,
+                )
+
+            def body(carry, i):
+                return carry + 1e-12 * jax.grad(loss)(carry), None
+
+            final, _ = jax.lax.scan(body, pred, jnp.arange(iters))
+            return jnp.sum(final)
+
+        return many
+
+    dt = _marginal_time(
+        make_many,
+        lambda trial: (
+            jnp.asarray(0.1 * rng.standard_normal((b, length)), jnp.float32),
+            true,
+        ),
+    )
+    flops = mss_flops(b, length, conf.mss_ffts, conf.mss_overlap, backward=True)
+    _emit(
+        "mss_loss_fwdbwd_mfu",
+        flops / dt / MXU_BF16,
+        "fraction of v5e bf16 MXU peak",
+        flops / dt / MXU_BF16,
     )
 
 
@@ -419,6 +503,7 @@ def main():
         ("encode", lambda: bench_encode(conf, crepe_params)),
         ("long_render", lambda: bench_long_render(conf)),
         ("osc_kernel", lambda: bench_osc_kernel(conf)),
+        ("mss_mfu", lambda: bench_mss_mfu(conf)),
     ):
         _note(f"{name}: compiling + measuring...")
         try:

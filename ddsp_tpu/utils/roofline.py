@@ -1,0 +1,82 @@
+"""Roofline / MFU accounting for the hot kernels.
+
+Shared by scripts/roofline.py (the full report) and bench.py (the driver
+metrics) so "speed-of-light per chip" is a computed number, not prose.
+Counts model the actual implementations and cite them; see each function.
+
+v5e ceilings (public spec / scaling-book numbers):
+
+* MXU: 197e12 bf16 FLOP/s.  True-f32 matmuls (Precision.HIGHEST) split
+  each operand into bf16 hi+lo and take ~6 passes (~1/6 rate); DEFAULT
+  f32 ~3 passes (bf16x3).
+* VPU: 8 sublanes x 128 lanes x 4 ALUs x ~0.94 GHz ~= 3.85e12
+  elementwise ops/s.
+"""
+
+from __future__ import annotations
+
+MXU_BF16 = 197e12  # FLOP/s, v5e peak
+MXU_F32_HIGHEST = MXU_BF16 / 6  # 6 bf16 passes per true-f32 matmul
+MXU_F32_DEFAULT = MXU_BF16 / 3  # 3 bf16 passes (bf16x3)
+VPU_OPS = 8 * 128 * 4 * 0.94e9  # ~3.85e12 elementwise ops/s
+
+OSC_FRAMES_PER_BLOCK = 4  # pallas_render_from_phase default
+
+
+def _round_up(n: int, m: int) -> int:
+    return (n + m - 1) // m * m
+
+
+def osc_counts(b: int, t: int, hop: int, n_h: int):
+    """(fill_elements, fwd_contraction_MACs, bwd_contraction_MACs) for a
+    production render through the fused Pallas oscillator.
+
+    Models ops/pallas/oscillator.py: per (ft)-frame block the kernel fills
+    an (HB, ft*hop) sine bank (HB = harmonics padded to a sublane multiple)
+    with the ~6-VPU-op/element rotation chain, then runs ONE
+    (3ft, HB) x (HB, ft*hop) MXU contraction forward (_kernel_banked) and
+    THREE of that class backward (_kernel_cheb_bwd, which also fills a
+    cosine bank: ~8 ops/element for the joint fill).
+    """
+    ft = OSC_FRAMES_PER_BLOCK
+    hb = _round_up(n_h, 8)
+    blocks = b * (t // ft)
+    length = ft * hop
+    fill = blocks * hb * length
+    macs_per_contraction = blocks * (3 * ft) * hb * length
+    return fill, macs_per_contraction, 3 * macs_per_contraction
+
+
+def osc_speed_of_light_s(b: int, t: int, hop: int, n_h: int, backward=False):
+    """Fill+contract lower bound (seconds) for the oscillator render."""
+    fill, fwd_macs, bwd_macs = osc_counts(b, t, hop, n_h)
+    sol = 6 * fill / VPU_OPS + 2 * fwd_macs / MXU_F32_HIGHEST
+    if backward:
+        sol += 8 * fill / VPU_OPS + 2 * bwd_macs / MXU_F32_DEFAULT
+    return sol
+
+
+def stft_macs(length: int, ffts, overlap: float) -> int:
+    """Total Hann-rDFT MACs for one signal across all MSS scales.
+
+    Models ops/spectral._spectrogram_hopblocked: per scale n, hop =
+    n*(1-overlap), frames = 1 + length/hop (center-padded n/2 each side),
+    cos + sin matmuls of (n, n/2+1) per frame.
+    """
+    total = 0
+    for n in ffts:
+        hop = int(n * (1 - overlap))
+        frames = 1 + length // hop
+        total += frames * n * (n // 2 + 1) * 2
+    return total
+
+
+def mss_flops(b: int, length: int, ffts, overlap: float, backward=False):
+    """Total STFT-matmul FLOPs of one MSS loss evaluation over a batch.
+
+    Forward = pred + target spectrograms; backward adds ~the pred-side
+    transposed matmuls (the target has no gradient).
+    """
+    per_signal = stft_macs(length, ffts, overlap)
+    macs = (3 if backward else 2) * b * per_signal
+    return 2 * macs
