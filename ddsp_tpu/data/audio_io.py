@@ -96,10 +96,15 @@ def have_compressed_backend() -> bool:
     """True if an optional decoder for mp3/ogg/flac is importable."""
     import importlib.util
 
-    return any(
-        importlib.util.find_spec(m) is not None
-        for m in ("soundfile", "torchaudio", "librosa")
-    )
+    def usable(m):
+        try:
+            return importlib.util.find_spec(m) is not None
+        except (ImportError, ValueError):
+            # find_spec raises ValueError for an in-sys.modules module
+            # whose __spec__ is None (e.g. a test stub) -- not a backend.
+            return False
+
+    return any(usable(m) for m in ("soundfile", "torchaudio", "librosa"))
 
 
 def read_audio(path: str) -> Tuple[np.ndarray, int]:

@@ -24,8 +24,11 @@ from ddsp_tpu.ops.oscillator import (
 )
 from ddsp_tpu.ops.pallas.oscillator import _pallas_forward
 
-LO, HI = 10, 60
-TRIALS = 4
+# Chain lengths sized so HI-LO is ~1-2 s of device work: the tunnel's
+# per-call jitter is 10s of ms, so a 50-iteration marginal (~100 ms of
+# work, the original sweep) cannot resolve ~2 ms kernels reliably.
+LO, HI = 250, 1000
+TRIALS = 5
 
 
 def marginal_time(fn, phase1, amps, loud):

@@ -18,6 +18,10 @@ Usage: python multihost_worker.py <proc_id> <nproc> <port> <out.json> <mode>
                  mesh — the STFT-halo psums and phase-carry/reverb-halo
                  ppermutes cross the process boundary (what DCN would
                  carry on real multi-host TPU).  Writes losses + checksum.
+  mode 'tp':     run 3 DP x TP train steps on a (data=2, model=2) mesh
+                 whose device grid is interleaved so the 'model' axis
+                 spans the two processes — the harmonic-bank psums
+                 (amp renorm + audio sum) cross the process boundary.
   mode 'render': time-sharded render on a (data=1, time=4) mesh — every
                  'time'-axis hop (phase carry, control halo, reverb
                  overlap-save halo) is a cross-process ppermute for the
@@ -118,6 +122,61 @@ def run_sp(conf, bail):
         state,
     )
     step = make_sp_train_step(conf, mesh)
+
+    losses = []
+    for _ in range(NUM_STEPS):
+        state, metrics = step(state, gbatch)
+        losses.append(float(metrics["loss"]))
+    checksum = float(
+        sum(
+            np.abs(np.asarray(x.addressable_data(0))).sum()
+            for x in jax.tree.leaves(state.params)
+        )
+    )
+    bail(
+        {
+            "losses": losses,
+            "checksum": checksum,
+            "process_count": jax.process_count(),
+            "global_devices": len(jax.devices()),
+        }
+    )
+
+
+def run_tp(conf, bail):
+    """DP x TP training with the 'model' (harmonic) axis spanning the two
+    processes: devices are interleaved [d0, d2, d1, d3] so each data row's
+    model pair is one device from each process, making every harmonic-bank
+    psum a cross-process collective."""
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ddsp_tpu.parallel.mesh import replicated
+    from ddsp_tpu.parallel.tp import make_dp_tp_mesh, make_tp_train_step
+    from ddsp_tpu.training.trainer import init_state
+
+    devs = jax.devices()
+    assert len(devs) == 4, devs
+    mesh = make_dp_tp_mesh(
+        n_data=2, n_model=2, devices=[devs[0], devs[2], devs[1], devs[3]]
+    )
+    batch = make_batch(conf, t=16)
+    # Each process holds one replica of every batch row (its devices span
+    # both 'data' shards), so the process-local portion is the full batch.
+    gbatch = {
+        k: jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P("data")), v
+        )
+        for k, v in batch.items()
+    }
+    rep = replicated(mesh)
+    state = init_state(jax.random.PRNGKey(0), conf)
+    state = jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(rep, np.asarray(x)),
+        state,
+    )
+    step = make_tp_train_step(conf, mesh)
 
     losses = []
     for _ in range(NUM_STEPS):
@@ -260,6 +319,9 @@ def main():
 
     if mode == "sp":
         run_sp(conf, bail)
+        return
+    if mode == "tp":
+        run_tp(conf, bail)
         return
     if mode == "render":
         run_render(conf, bail)

@@ -136,9 +136,11 @@ def _reference_pitch_decoder(reference_path):
     import sys
     import types
 
+    stubbed = []
     for name in ("librosa", "torchaudio", "torchaudio.transforms"):
         if name not in sys.modules:
             sys.modules[name] = types.ModuleType(name)
+            stubbed.append(name)
     if not hasattr(sys.modules["torchaudio"], "transforms"):
         sys.modules["torchaudio"].transforms = sys.modules["torchaudio.transforms"]
     if not hasattr(sys.modules["torchaudio.transforms"], "Resample"):
@@ -146,7 +148,14 @@ def _reference_pitch_decoder(reference_path):
     for fn in ("A_weighting", "fft_frequencies"):
         if not hasattr(sys.modules["librosa"], fn):
             setattr(sys.modules["librosa"], fn, lambda *a, **k: None)
-    enc_mod = importlib.import_module("model.autoencoder.encoder")
+    try:
+        enc_mod = importlib.import_module("model.autoencoder.encoder")
+    finally:
+        # Drop the spec-less stubs: leaked, they make importlib.find_spec
+        # raise ValueError for later tests probing optional backends
+        # (observed: test_read_audio_dispatch failing suite-wide only).
+        for name in stubbed:
+            del sys.modules[name]
 
     class Dummy:
         cents_map = staticmethod(enc_mod.F0Encoder.cents_map)

@@ -134,6 +134,45 @@ def test_two_process_sp_train_matches_single(tmp_path):
     np.testing.assert_allclose(d0["checksum"], checksum, rtol=1e-3)
 
 
+def test_two_process_tp_train_matches_single(tmp_path):
+    """DP x TP train step with the harmonic ('model') axis spanning the
+    two processes (interleaved device grid): the amp-renorm and audio
+    psums cross the process boundary.  Losses and params must match the
+    single-process oracle within the Adam-noise bound the single-process
+    TP test uses."""
+    results = _launch("tp", tmp_path)
+    for rc, data, log in results:
+        assert rc == 0, f"worker failed rc={rc}\n{log[-2000:]}"
+        assert data and "losses" in data, (data, log[-2000:])
+    (rc0, d0, _), (rc1, d1, _) = results
+    assert d0["process_count"] == 2 and d0["global_devices"] == 4
+    np.testing.assert_allclose(d0["losses"], d1["losses"], rtol=1e-6)
+    # The two processes observe different psum participants; Adam
+    # normalizes each grad by its magnitude, so reduction-order rounding
+    # on a near-zero grad flips a whole ~lr-sized update (same bound the
+    # single-process TP test uses).  Losses above stay 1e-6-tight because
+    # they're computed from the shared pre-update params.
+    np.testing.assert_allclose(d0["checksum"], d1["checksum"], rtol=2e-3)
+
+    import jax
+
+    from ddsp_tpu.config import Config
+    from ddsp_tpu.training.trainer import init_state, make_train_step
+    from tests.multihost_worker import CONF_KWARGS, NUM_STEPS, make_batch
+
+    conf = Config(**CONF_KWARGS)
+    batch = {
+        k: jax.numpy.asarray(v) for k, v in make_batch(conf, t=16).items()
+    }
+    state = init_state(jax.random.PRNGKey(0), conf)
+    step = jax.jit(make_train_step(conf))
+    want = []
+    for _ in range(NUM_STEPS):
+        state, metrics = step(state, batch)
+        want.append(float(metrics["loss"]))
+    np.testing.assert_allclose(d0["losses"], want, rtol=1e-2, atol=1e-2)
+
+
 def test_two_process_time_sharded_render(tmp_path):
     """Time-sharded render across 2 processes (data=1 x time=4): the
     middle 'time' boundary's phase carry, control halo, and reverb
