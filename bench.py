@@ -69,41 +69,11 @@ def _emit(metric, value, unit, vs_baseline):
     )
 
 
-def _marginal_time(make_many, args_for_trial, trials=5, target_s=2.0):
-    """Marginal per-iteration time (T_HI - T_LO)/(HI - LO) between two
-    chain lengths, adaptively sized so the HI-LO work difference is
-    ~``target_s`` of device time.
+def _marginal_time(make_many, args_for_trial):
+    """Adaptive marginal-chain device time (ddsp_tpu.utils.profiling)."""
+    from ddsp_tpu.utils.profiling import marginal_chain_time
 
-    The marginal subtracts the tunnel's fixed per-call round trip; a plain
-    total/iters divide smears 100-400 ms of link latency into the kernel
-    time (CLAUDE.md), and an undersized chain drowns a sub-ms kernel in
-    the round trip's jitter.  ``make_many(iters)`` must return a jitted
-    callable chaining ``iters`` dependent executions.
-    """
-    import jax
-
-    probe = make_many(40)
-    jax.block_until_ready(probe(*args_for_trial(0)))  # compile + warm
-    t0 = time.perf_counter()
-    jax.block_until_ready(probe(*args_for_trial(0)))
-    rough = (time.perf_counter() - t0) / 40  # upper bound (incl. round trip)
-    hi = int(min(6000, max(160, 3 * target_s / rough)))
-    lo = hi // 4
-
-    runs = {n: make_many(n) for n in (lo, hi)}
-    for n in (lo, hi):
-        jax.block_until_ready(runs[n](*args_for_trial(0)))  # compile + warm
-    times = []
-    for trial in range(trials):
-        args = args_for_trial(trial)
-        ts = {}
-        for n in (lo, hi):
-            t0 = time.perf_counter()
-            r = jax.block_until_ready(runs[n](*args))
-            ts[n] = time.perf_counter() - t0
-            assert np.isfinite(float(np.asarray(r).ravel()[0]))
-        times.append((ts[hi] - ts[lo]) / (hi - lo))
-    return float(np.median(times[1:]))
+    return marginal_chain_time(make_many, args_for_trial)
 
 
 def bench_synth_forward(conf):
@@ -127,7 +97,6 @@ def bench_synth_forward(conf):
     }
     params = decoder_init(jax.random.PRNGKey(0), conf)
     key = jax.random.PRNGKey(1)
-    lo, hi = 50, 200
 
     def make_many(iters):
         @jax.jit
@@ -142,21 +111,10 @@ def bench_synth_forward(conf):
 
         return many
 
-    runs = {n: make_many(n) for n in (lo, hi)}
-    for n in (lo, hi):
-        jax.block_until_ready(runs[n](params, batch, key))
-    times = []
-    for trial in range(4):
-        k = jax.random.fold_in(key, 1000 + trial)
-        ts = {}
-        for n in (lo, hi):
-            t0 = time.perf_counter()
-            r = runs[n](params, batch, k)
-            jax.block_until_ready(r)
-            ts[n] = time.perf_counter() - t0
-            assert np.isfinite(float(r)), float(r)
-        times.append((ts[hi] - ts[lo]) / (hi - lo))
-    dt = float(np.median(times[1:]))
+    dt = _marginal_time(
+        make_many,
+        lambda trial: (params, batch, jax.random.fold_in(key, 1000 + trial)),
+    )
     sps = batch_size * conf.example_length / dt
     _emit(
         "synth_forward_samples_per_s_per_chip",

@@ -112,8 +112,13 @@ def style_transfer_spec(
         s = jnp.mean((gram_matrix(feats) - s_target) ** 2)
         return conf.content_weight * c + conf.style_weight * s, (c, s)
 
-    opt = optax.lbfgs(
-        learning_rate=conf.learning_rate if conf.learning_rate > 0 else None
+    # Fixed-step torch semantics need the zoom linesearch DISABLED: with
+    # the default linesearch chained, a learning_rate only rescales the
+    # direction the linesearch then re-scales, making the knob inert.
+    opt = (
+        optax.lbfgs(learning_rate=conf.learning_rate, linesearch=None)
+        if conf.learning_rate > 0
+        else optax.lbfgs()
     )
 
     @jax.jit

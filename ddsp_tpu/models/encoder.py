@@ -51,9 +51,18 @@ def crepe_frame_hop(orig_len: int, resampled_len: int, conf: Config) -> int:
             f"resampled audio ({resampled_len} samples) shorter than the "
             f"CREPE window ({conf.crepe_window})"
         )
-    return int(
+    hop = int(
         conf.hop_length * (resampled_len - conf.crepe_window) / (orig_len - conf.n_fft)
     )
+    if hop < 1:
+        # e.g. resampled_len == crepe_window exactly: the formula floors to
+        # 0 and downstream framing would divide by it.
+        raise ValueError(
+            f"audio too short for the f0 encoder: the aligned CREPE hop "
+            f"is {hop} (< 1) at {orig_len} samples; pad inputs with "
+            "models.autoencoder.feature_pad"
+        )
+    return hop
 
 
 def f0_encoder_apply(
@@ -83,11 +92,17 @@ def f0_encoder_apply(
     probs = crepe_forward(crepe_params, frames.reshape(b * t, w))
     probs = probs.reshape(b, t, -1)
 
-    decode = {
+    decoders = {
         "argmax": pitch_argmax,
         "weighted": pitch_weighted,
         "centered_ref": pitch_centered_ref,  # bug-compatible A/B variant
-    }[conf.pitch_decode]
+    }
+    if conf.pitch_decode not in decoders:
+        raise ValueError(
+            f"unknown pitch_decode {conf.pitch_decode!r}: expected one of "
+            f"{sorted(decoders)}"
+        )
+    decode = decoders[conf.pitch_decode]
     freq, harmonicity, normalized_cents = decode(probs)
     return {
         "f0": freq,

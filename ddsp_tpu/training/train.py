@@ -59,6 +59,13 @@ def main(argv=None) -> None:
             flags.append(a)
     conf = Config.from_flags(flags)
 
+    if extra["finetune_crepe"]:
+        # Validate the finetune precondition BEFORE the (hours-long) main
+        # run: make_finetune_step would otherwise raise only at the end.
+        from ddsp_tpu.training.trainer import make_finetune_step
+
+        make_finetune_step(conf)
+
     if extra["crepe_checkpoint"]:
         crepe = load_torch_checkpoint(extra["crepe_checkpoint"])
     else:
@@ -100,7 +107,11 @@ def main(argv=None) -> None:
     print("final:", metrics)
 
     if extra["finetune_crepe"]:
-        from ddsp_tpu.training.trainer import finetune, save_checkpoint
+        from ddsp_tpu.training.trainer import (
+            finetune,
+            save_checkpoint,
+            wait_for_checkpoints,
+        )
 
         print(f"finetuning CREPE for {extra['finetune_crepe']} steps ...")
         ft_state, ft_metrics = finetune(
@@ -114,6 +125,8 @@ def main(argv=None) -> None:
         save_checkpoint(
             f"{conf.checkpoint_dir}/finetune", ft_state, conf
         )
+        # Surface any background-commit failure before declaring success.
+        wait_for_checkpoints()
         print("finetune final:", ft_metrics)
 
 

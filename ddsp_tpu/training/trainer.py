@@ -340,21 +340,32 @@ def wait_for_checkpoints() -> None:
         _ASYNC_CKPTR.wait_until_finished()
 
 
-def _prune_checkpoints(ckpt_dir: str, keep: int) -> None:
+def _prune_checkpoints(ckpt_dir: str, keep: int, protect: str = "") -> None:
     """Delete the oldest finalized step_* dirs, keeping the newest ``keep``.
 
     Only exact ``step_N`` names are touched, so an in-flight async save
     (Orbax's ``...orbax-checkpoint-tmp-...`` directory) is never pruned.
+    ``protect`` names a checkpoint that counts toward the budget but is
+    never deleted, whether its async commit has finalized yet or not --
+    checking existence instead would race the background rename and
+    transiently retain one checkpoint too few.
     """
     import shutil
 
     if keep <= 0 or not os.path.isdir(ckpt_dir):
         return
+    protect = os.path.basename(protect) if protect else ""
     steps = sorted(
-        (d for d in os.listdir(ckpt_dir) if re.fullmatch(r"step_\d+", d)),
+        (
+            d
+            for d in os.listdir(ckpt_dir)
+            if re.fullmatch(r"step_\d+", d) and d != protect
+        ),
         key=lambda d: int(d.split("_")[1]),
     )
-    for d in steps[:-keep] if len(steps) > keep else []:
+    if protect:
+        keep -= 1  # the protected save occupies one retention slot
+    for d in steps[: len(steps) - keep] if len(steps) > keep >= 0 else []:
         shutil.rmtree(os.path.join(ckpt_dir, d), ignore_errors=True)
 
 
@@ -383,19 +394,27 @@ def save_checkpoint(
         "rng": state.rng,
     }
     ckptr = _async_checkpointer()
-    # A re-save of the same step (e.g. final step after a periodic save)
-    # must not collide with itself.
-    if not os.path.exists(path):
-        ckptr.save(path, args=ocp.args.StandardSave(payload))
-        if block:
-            ckptr.wait_until_finished()
+    # Drain the previous async commit first (near-instant in steady state:
+    # it was issued checkpoint_every steps ago); only then is an existence
+    # check race-free.  A re-save to an existing step_N path (same step
+    # saved twice, e.g. the final step right after a periodic save, or a
+    # re-run landing on the same step count) OVERWRITES: silently skipping
+    # would discard the new state while reporting success, and Orbax
+    # refuses to save onto an existing directory.
+    wait_for_checkpoints()
+    if os.path.exists(path):
+        import shutil
+
+        shutil.rmtree(path)
+    ckptr.save(path, args=ocp.args.StandardSave(payload))
+    if block:
+        ckptr.wait_until_finished()
     with open(os.path.join(ckpt_dir, "config.json"), "w") as f:
         f.write(conf.to_json())
-    # Prune to the retention budget.  If the new save is still in flight
-    # (not yet renamed to its final step_N name), reserve one slot for it.
+    # Prune to the retention budget; the just-issued save (in flight or
+    # already finalized) is protected and counts as one retained slot.
     if conf.checkpoint_keep:
-        in_flight = 0 if os.path.exists(path) else 1
-        _prune_checkpoints(ckpt_dir, max(1, conf.checkpoint_keep - in_flight))
+        _prune_checkpoints(ckpt_dir, conf.checkpoint_keep, protect=path)
     return path
 
 

@@ -57,6 +57,59 @@ def microbench(
     return result
 
 
+def marginal_chain_time(
+    make_many: Callable[[int], Callable[..., Any]],
+    args_for_trial: Callable[[int], tuple],
+    trials: int = 5,
+    target_s: float = 2.0,
+    verbose: bool = False,
+) -> float:
+    """Tunnel-safe device time per iteration of a chained computation.
+
+    ``make_many(iters)`` must return a jitted callable running ``iters``
+    executions chained by a real output->input dependency (``lax.scan``);
+    ``args_for_trial(i)`` supplies varied inputs per trial.  Returns the
+    median marginal (T_HI - T_LO) / (HI - LO) between two chain lengths
+    sized so the HI-LO work difference is ~``target_s`` of device time.
+
+    Why this shape (CLAUDE.md): a synchronous host round trip through the
+    serving tunnel costs 100-400 ms, so total/iters smears link latency
+    into the kernel time, and an undersized chain drowns a sub-ms kernel
+    in the round trip's jitter (observed: a 50-iteration chain reported
+    the MSS loss forward at 5x the MXU's peak rate).
+    """
+    import numpy as np
+
+    probe = make_many(40)
+    jax.block_until_ready(probe(*args_for_trial(0)))  # compile + warm
+    t0 = time.perf_counter()
+    jax.block_until_ready(probe(*args_for_trial(0)))
+    rough = (time.perf_counter() - t0) / 40  # upper bound (incl. round trip)
+    hi = int(min(6000, max(160, 3 * target_s / rough)))
+    lo = hi // 4
+    if verbose:
+        print(
+            f"[marginal {time.strftime('%H:%M:%S')}] rough={1e3*rough:.3f} ms"
+            f" -> chain lo={lo} hi={hi}",
+            flush=True,
+        )
+
+    runs = {n: make_many(n) for n in (lo, hi)}
+    for n in (lo, hi):
+        jax.block_until_ready(runs[n](*args_for_trial(0)))  # compile + warm
+    times = []
+    for trial in range(trials):
+        args = args_for_trial(trial)
+        ts = {}
+        for n in (lo, hi):
+            t0 = time.perf_counter()
+            r = jax.block_until_ready(runs[n](*args))
+            ts[n] = time.perf_counter() - t0
+            assert np.isfinite(float(np.asarray(r).ravel()[0]))
+        times.append((ts[hi] - ts[lo]) / (hi - lo))
+    return float(np.median(times[1:]))
+
+
 @contextlib.contextmanager
 def debug_nans(enable: bool = True):
     """Scoped jax_debug_nans toggle for numeric triage."""

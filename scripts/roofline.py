@@ -35,7 +35,6 @@ median of varied-input trials; CLAUDE.md).
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -44,47 +43,17 @@ import numpy as np
 from ddsp_tpu.utils.roofline import (  # noqa: E402 (path insert above)
     MXU_BF16,
     MXU_F32_DEFAULT,
-    MXU_F32_HIGHEST,
-    VPU_OPS,
     osc_counts,
+    osc_speed_of_light_s,
     stft_macs,
 )
 
 
-def _median_chain(make_many, args_for_trial, trials=5):
-    """Marginal per-iteration time (T_HI - T_LO)/(HI - LO) between two chain
-    lengths -- subtracts the tunnel's fixed per-call round trip, which a
-    plain total/iters divide would smear into the kernel time.  Chain
-    lengths are sized adaptively so the HI-LO work difference is ~2 s of
-    device time; otherwise the round trip's +-10s-of-ms jitter swamps a
-    sub-ms kernel's marginal (measured: an undersized chain reported the
-    MSS forward at 5x the MXU's peak rate)."""
-    import jax
+def _median_chain(make_many, args_for_trial):
+    """Adaptive marginal-chain device time (ddsp_tpu.utils.profiling)."""
+    from ddsp_tpu.utils.profiling import marginal_chain_time
 
-    probe = make_many(40)
-    jax.block_until_ready(probe(*args_for_trial(0)))  # compile + warm
-    t0 = time.perf_counter()
-    jax.block_until_ready(probe(*args_for_trial(0)))
-    rough = (time.perf_counter() - t0) / 40  # upper bound (incl. round trip)
-    hi = int(min(6000, max(160, 3 * 2.0 / rough)))
-    lo = hi // 4
-    print(f"[roofline {time.strftime('%H:%M:%S')}] rough={1e3*rough:.3f} ms "
-          f"-> chain lo={lo} hi={hi}", file=sys.stderr, flush=True)
-
-    runs = {n: make_many(n) for n in (lo, hi)}
-    for n in (lo, hi):
-        jax.block_until_ready(runs[n](*args_for_trial(0)))  # compile + warm
-    times = []
-    for trial in range(trials):
-        args = args_for_trial(trial)
-        ts = {}
-        for n in (lo, hi):
-            t0 = time.perf_counter()
-            r = jax.block_until_ready(runs[n](*args))
-            ts[n] = time.perf_counter() - t0
-            assert np.isfinite(float(np.asarray(r).ravel()[0]))
-        times.append((ts[hi] - ts[lo]) / (hi - lo))
-    return float(np.median(times[1:]))
+    return marginal_chain_time(make_many, args_for_trial, verbose=True)
 
 
 def _emit(name, dt, sol, parts):
@@ -152,11 +121,11 @@ def bench_oscillator(conf):
             loud,
         )
 
-    fill, fwd_macs, bwd_macs = osc_counts(b, t, hop, h)
+    _, fwd_macs, bwd_macs = osc_counts(b, t, hop, h)
     elements = b * t * hop * h  # algorithmic sine-bank elements
 
     dt_f = _median_chain(fwd_many, args)
-    sol_f = 6 * fill / VPU_OPS + 2 * fwd_macs / MXU_F32_HIGHEST
+    sol_f = osc_speed_of_light_s(b, t, hop, h)
     fwd = _emit(
         "osc_forward",
         dt_f,
@@ -168,12 +137,7 @@ def bench_oscillator(conf):
     )
 
     dt_fb = _median_chain(fwdbwd_many, args)
-    # fwd (HIGHEST contraction) + bwd (sin+cos fill, 3 DEFAULT contractions)
-    sol_fb = (
-        sol_f
-        + 8 * fill / VPU_OPS
-        + 2 * bwd_macs / MXU_F32_DEFAULT
-    )
+    sol_fb = osc_speed_of_light_s(b, t, hop, h, backward=True)
     fb = _emit(
         "osc_forward_backward",
         dt_fb,

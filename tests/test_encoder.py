@@ -117,3 +117,21 @@ def test_crepe_frame_hop_rejects_degenerate_lengths():
         crepe_frame_hop(conf.n_fft, 1024, conf)
     with pytest.raises(ValueError, match="CREPE window"):
         crepe_frame_hop(conf.n_fft + 1000, conf.crepe_window - 1, conf)
+    # resampled length == window: the aligned-hop formula floors to 0 and
+    # downstream framing would divide by it
+    with pytest.raises(ValueError, match="hop"):
+        crepe_frame_hop(conf.n_fft + 1000, conf.crepe_window, conf)
+
+
+def test_unknown_pitch_decode_raises_clearly():
+    """A typo'd conf.pitch_decode must name the valid choices, not KeyError
+    inside a jit trace."""
+    from ddsp_tpu.models.crepe import crepe_init
+    from ddsp_tpu.models.encoder import f0_encoder_apply
+
+    conf = CONF.replace(pitch_decode="weigthed")
+    crepe = crepe_init(jax.random.PRNGKey(0), "tiny")
+    audio = np.zeros((1, conf.example_length + conf.n_fft - conf.hop_length),
+                     np.float32)
+    with pytest.raises(ValueError, match="argmax"):
+        f0_encoder_apply(crepe, audio, conf)

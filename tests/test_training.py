@@ -340,6 +340,25 @@ def test_async_checkpoint_retention_and_resume(tmp_path):
     )
 
 
+def test_checkpoint_resave_same_step_overwrites(tmp_path):
+    """Saving a DIFFERENT state at an existing step_N path must overwrite
+    it, not silently skip (silent skip = data loss for a re-run landing on
+    the same step count, e.g. two --finetune_crepe runs)."""
+    from ddsp_tpu.training.trainer import wait_for_checkpoints
+
+    conf = CONF.replace(checkpoint_dir=str(tmp_path / "ckpt"))
+    s1 = init_state(jax.random.PRNGKey(0), conf)
+    s2 = init_state(jax.random.PRNGKey(7), conf)  # different params, same step
+    save_checkpoint(conf.checkpoint_dir, s1, conf)
+    path = save_checkpoint(conf.checkpoint_dir, s2, conf)
+    wait_for_checkpoints()
+    restored = restore_checkpoint(path, init_state(jax.random.PRNGKey(3), conf))
+    l_want = jax.tree_util.tree_leaves(s2.params)
+    l_got = jax.tree_util.tree_leaves(restored.params)
+    for a, b in zip(l_want, l_got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_plateau_schedule_drops_lr():
     """A plateaued loss must actually decay the LR scale by
     lr_plateau_factor after lr_plateau_patience windows
