@@ -1,0 +1,260 @@
+"""Multi-stream serving runtime: N concurrent real-time streams, one chip.
+
+The reference serves exactly one JACK client (reference rt/synth.py:16-27,
+module-level singleton).  On TPU the economics invert: the streaming hop is
+latency-bound (GRU recurrence + dispatch), so stepping N streams in one
+fused jit costs barely more than stepping one -- batch-16 offline rendering
+runs ~2x the per-stream rate of batch-1 (docs/PERFORMANCE.md).  This module
+packs N independent streams into fixed batch slots of one device step:
+
+* per-slot pipeline state: each slot has its own frame counter, GRU hidden,
+  phase, control context, and reverb history, so slots can join/leave at
+  any time without perturbing neighbors (``reset_slots``);
+* exact single-stream semantics: slot ``i`` stepped inside the batch is
+  bit-identical to a lone stream whose noise key is ``fold_in(key, i)``
+  (tests/test_multistream.py) -- the noise RNG folds (slot, absolute
+  frame), the batched analogue of the frame-indexed keying that makes
+  streaming match offline (ops/fir.frame_noise);
+* the device step is one jit over all slots: features (CREPE + loudness),
+  controller, oscillator/noise/reverb -- no per-stream dispatch.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ddsp_tpu.config import Config
+from ddsp_tpu.models.controller import controller_apply
+from ddsp_tpu.models.synths import reverb_live
+from ddsp_tpu.ops.fir import convolve_designed_fir
+from ddsp_tpu.ops.oscillator import render_padded
+from ddsp_tpu.runtime.streaming import (
+    FeatureStreamState,
+    feature_stream_init,
+    make_feature_stream_step,
+    _zero_controls,
+)
+
+
+class MultiStreamState(NamedTuple):
+    feat: FeatureStreamState  # rolling input buffers (N, window)
+    hidden: jnp.ndarray  # (layers, N, H) GRU state
+    phase: jnp.ndarray  # (N,) fundamental phase, cycles
+    prev: Dict[str, jnp.ndarray]  # controls of frame t-1, (N, 1, .)
+    cur: Dict[str, jnp.ndarray]  # controls of frame t (not yet rendered)
+    pending: Dict[str, jnp.ndarray]  # noise mags {H} of frame t
+    n_seen: jnp.ndarray  # (N,) per-slot frames consumed
+    reverb_hist: jnp.ndarray  # (N, ir_length) dry history
+
+
+def multistream_init(conf: Config, n_streams: int) -> MultiStreamState:
+    return MultiStreamState(
+        feat=feature_stream_init(conf, batch=n_streams),
+        hidden=jnp.zeros(
+            (conf.decoder_gru_layers, n_streams, conf.decoder_gru_units)
+        ),
+        phase=jnp.zeros((n_streams,)),
+        prev=_zero_controls(conf, n_streams),
+        cur=_zero_controls(conf, n_streams),
+        pending={"H": jnp.zeros((n_streams, 1, conf.n_noise_filters))},
+        n_seen=jnp.zeros((n_streams,), jnp.int32),
+        reverb_hist=jnp.zeros((n_streams, conf.ir_length)),
+    )
+
+
+def _slot_noise(
+    key: jax.Array, offsets: jnp.ndarray, block_size: int, dtype
+) -> jnp.ndarray:
+    """(N,) per-slot absolute frame indices -> (N, 1, block) uniform noise.
+
+    Row ``i`` draws from ``fold_in(fold_in(key, i), offsets[i])`` with the
+    same (1, block) shape as :func:`ops.fir.frame_noise` uses for a lone
+    batch-1 stream, so a slot's noise sequence is bit-identical to an
+    independent stream keyed ``fold_in(key, i)``.
+    """
+    n = offsets.shape[0]
+    slot_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(n))
+
+    def draw(k, off):
+        return jax.random.uniform(
+            jax.random.fold_in(k, off), (1, block_size), dtype, -1.0, 1.0
+        )
+
+    return jax.vmap(draw)(slot_keys, offsets)  # (N, 1, block)
+
+
+def make_multistream_step(
+    params: Dict, crepe_params: Dict, conf: Config, noise_key: jax.Array
+):
+    """Jitted (state, blocks (N, hop)) -> (out_blocks (N, hop), state).
+
+    Mirrors the single-stream pipeline (runtime/streaming.py: one feature
+    frame per hop, one-frame render lookahead, zeros while each slot's
+    pipeline fills) with every per-slot condition vectorized over rows.
+    """
+    feat_step = make_feature_stream_step(crepe_params, conf)
+
+    @jax.jit
+    def step(state: MultiStreamState, blocks: jnp.ndarray):
+        frame, feat = feat_step(state.feat, blocks)
+        controls, hidden = controller_apply(
+            params["controller"], frame, hidden=state.hidden
+        )
+        new_ctrl = {k: controls[k] for k in ("f0", "c", "a")}
+
+        first = state.n_seen == 0  # (N,) slot pipelines filling
+        snap = lambda old, new: jax.tree_util.tree_map(  # noqa: E731
+            lambda o, n: jnp.where(first[:, None, None], n, o), old, new
+        )
+        prev_r = snap(state.prev, new_ctrl)
+        cur_r = snap(state.cur, new_ctrl)
+
+        cat = lambda k: jnp.concatenate(  # noqa: E731
+            [prev_r[k], cur_r[k], new_ctrl[k]], axis=1
+        )
+        harm, phase = render_padded(
+            cat("f0"), cat("c"), cat("a"),
+            sample_rate=conf.sample_rate,
+            hop=conf.hop_length,
+            initial_phase=state.phase,
+        )
+        offsets = jnp.maximum(state.n_seen - 1, 0)
+        noise_frames = _slot_noise(
+            noise_key, offsets, conf.hop_length, harm.dtype
+        )
+        noise = convolve_designed_fir(state.pending["H"], noise_frames)
+        dry = harm + noise
+        wet, hist = reverb_live(params["reverb"], state.reverb_hist, dry, conf)
+
+        have_output = state.n_seen >= 1  # (N,)
+        row = have_output[:, None]
+        out = jnp.where(row, wet, jnp.zeros_like(wet))
+        new_state = MultiStreamState(
+            feat=feat,
+            hidden=hidden,
+            phase=jnp.where(have_output, phase, state.phase),
+            prev=cur_r,
+            cur=new_ctrl,
+            pending={"H": controls["H"]},
+            n_seen=state.n_seen + 1,
+            reverb_hist=jnp.where(row, hist, state.reverb_hist),
+        )
+        return out, new_state
+
+    return step
+
+
+def make_multistream_flush(
+    params: Dict, conf: Config, noise_key: jax.Array
+):
+    """Jitted state -> (tail_blocks (N, hop), state): render every slot's
+    final buffered frame with right-edge clamp (single-stream flush
+    semantics, runtime/streaming.make_synth_stream_flush)."""
+
+    @jax.jit
+    def flush(state: MultiStreamState):
+        cat = lambda k: jnp.concatenate(  # noqa: E731
+            [state.prev[k], state.cur[k], state.cur[k]], axis=1
+        )
+        harm, phase = render_padded(
+            cat("f0"), cat("c"), cat("a"),
+            sample_rate=conf.sample_rate,
+            hop=conf.hop_length,
+            initial_phase=state.phase,
+        )
+        offsets = jnp.maximum(state.n_seen - 1, 0)
+        noise_frames = _slot_noise(
+            noise_key, offsets, conf.hop_length, harm.dtype
+        )
+        noise = convolve_designed_fir(state.pending["H"], noise_frames)
+        dry = harm + noise
+        wet, hist = reverb_live(params["reverb"], state.reverb_hist, dry, conf)
+        return wet, state._replace(phase=phase, reverb_hist=hist)
+
+    return flush
+
+
+def reset_slots(
+    conf: Config, state: MultiStreamState, slots
+) -> MultiStreamState:
+    """Return ``state`` with the given slot rows reset to fresh-stream
+    state (a new client takes over the slot); other slots are untouched.
+
+    ``slots``: int index, sequence of indices, or (N,) bool mask.
+    """
+    n = state.n_seen.shape[0]
+    mask = np.zeros((n,), bool)
+    mask[np.asarray(slots)] = True
+    mask = jnp.asarray(mask)
+    fresh = multistream_init(conf, n)
+
+    def rows(old, new, axis):
+        shape = [1] * old.ndim
+        shape[axis] = n
+        return jnp.where(mask.reshape(shape), new, old)
+
+    return MultiStreamState(
+        feat=FeatureStreamState(
+            buffer=rows(state.feat.buffer, fresh.feat.buffer, 0)
+        ),
+        hidden=rows(state.hidden, fresh.hidden, 1),  # (layers, N, H)
+        phase=rows(state.phase, fresh.phase, 0),
+        prev=jax.tree_util.tree_map(
+            lambda o, f: rows(o, f, 0), state.prev, fresh.prev
+        ),
+        cur=jax.tree_util.tree_map(
+            lambda o, f: rows(o, f, 0), state.cur, fresh.cur
+        ),
+        pending=jax.tree_util.tree_map(
+            lambda o, f: rows(o, f, 0), state.pending, fresh.pending
+        ),
+        n_seen=rows(state.n_seen, fresh.n_seen, 0),
+        reverb_hist=rows(state.reverb_hist, fresh.reverb_hist, 0),
+    )
+
+
+class MultiStreamServer:
+    """Host-side wrapper: N block-synthesizer slots behind one device step.
+
+    The batched analogue of runtime/streaming.BlockSynthesizer -- feed
+    (N, hop) mic blocks, get (N, hop) synthesized blocks; ``reset`` a slot
+    when its client disconnects and a new one joins.
+    """
+
+    def __init__(
+        self,
+        params: Dict,
+        crepe_params: Dict,
+        conf: Config,
+        n_streams: int,
+        noise_seed: int = 0,
+    ):
+        self.conf = conf
+        self.n_streams = n_streams
+        self.hop = conf.hop_length
+        key = jax.random.PRNGKey(noise_seed)
+        self._step = make_multistream_step(params, crepe_params, conf, key)
+        self._flush = make_multistream_flush(params, conf, key)
+        self.state = multistream_init(conf, n_streams)
+        self.blocks = 0
+        # warm up compilation before the first deadline-bound call
+        self._step(self.state, jnp.zeros((n_streams, self.hop)))
+
+    def process(self, blocks: np.ndarray) -> np.ndarray:
+        assert blocks.shape == (self.n_streams, self.hop), blocks.shape
+        out, self.state = self._step(
+            self.state, jnp.asarray(blocks, jnp.float32)
+        )
+        self.blocks += 1
+        return np.asarray(out)
+
+    def flush(self) -> np.ndarray:
+        out, self.state = self._flush(self.state)
+        return np.asarray(out)
+
+    def reset(self, slots) -> None:
+        self.state = reset_slots(self.conf, self.state, slots)

@@ -1,0 +1,177 @@
+"""Multi-stream serving: N batched slots must behave exactly like N
+independent single-stream synthesizers (runtime/multistream.py).
+
+The reference serves one client (reference rt/synth.py:16-27); the
+multi-stream runtime packs N clients into one fused device step, so its
+correctness contract is per-slot equivalence with the proven single-stream
+path (tests/test_streaming.py), including mid-service slot resets.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ddsp_tpu.config import Config
+from ddsp_tpu.models.controller import decoder_init
+from ddsp_tpu.models.crepe import crepe_init
+from ddsp_tpu.runtime.multistream import (
+    MultiStreamServer,
+    make_multistream_flush,
+    make_multistream_step,
+    multistream_init,
+    reset_slots,
+)
+from ddsp_tpu.runtime.streaming import (
+    feature_stream_init,
+    make_feature_stream_step,
+    make_synth_stream_flush,
+    make_synth_stream_step,
+    synth_stream_init,
+)
+
+CONF = Config(
+    sample_rate=4000,
+    n_fft=256,
+    hop_length=64,
+    n_harmonics=12,
+    n_noise_filters=9,
+    decoder_mlp_units=16,
+    decoder_mlp_layers=1,
+    decoder_gru_units=16,
+    reverb_length=300,
+    crepe_window=1024,
+    crepe_sample_rate=16000,
+)
+N = 3
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = decoder_init(jax.random.PRNGKey(0), CONF)
+    crepe = crepe_init(jax.random.PRNGKey(1), "tiny")
+    return params, crepe
+
+
+def _blocks(n_blocks, seed):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n_blocks * CONF.hop_length) / CONF.sample_rate
+    f = rng.uniform(100, 300)
+    sig = (0.4 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+    sig += (0.01 * rng.standard_normal(sig.size)).astype(np.float32)
+    return sig.reshape(n_blocks, CONF.hop_length)
+
+
+def _run_single(params, crepe, key, blocks):
+    """Oracle: the proven single-stream pipeline over one slot's blocks."""
+    feat_step = make_feature_stream_step(crepe, CONF)
+    synth_step = make_synth_stream_step(params, CONF, key)
+    fs = feature_stream_init(CONF)
+    ss = synth_stream_init(CONF)
+    outs = []
+    for b in blocks:
+        frame, fs = feat_step(fs, jnp.asarray(b).reshape(1, -1))
+        out, ss = synth_step(ss, frame)
+        outs.append(np.asarray(out)[0])
+    return np.stack(outs), ss
+
+
+def test_multistream_matches_independent_streams(setup):
+    """Slot i of the batched step == a lone stream keyed fold_in(key, i)."""
+    params, crepe = setup
+    key = jax.random.PRNGKey(5)
+    n_blocks = 7
+    per_slot = [_blocks(n_blocks, seed=10 + i) for i in range(N)]
+
+    step = make_multistream_step(params, crepe, CONF, key)
+    state = multistream_init(CONF, N)
+    got = []
+    for j in range(n_blocks):
+        blocks = np.stack([per_slot[i][j] for i in range(N)])
+        out, state = step(state, jnp.asarray(blocks))
+        got.append(np.asarray(out))
+    got = np.stack(got, axis=1)  # (N, n_blocks, hop)
+
+    for i in range(N):
+        want, _ = _run_single(
+            params, crepe, jax.random.fold_in(key, i), per_slot[i]
+        )
+        np.testing.assert_allclose(
+            got[i], want, rtol=0, atol=1e-5,
+            err_msg=f"slot {i} diverged from its independent stream",
+        )
+
+
+def test_multistream_flush_matches_single(setup):
+    params, crepe = setup
+    key = jax.random.PRNGKey(5)
+    blocks = _blocks(5, seed=3)
+
+    step = make_multistream_step(params, crepe, CONF, key)
+    flush = make_multistream_flush(params, CONF, key)
+    state = multistream_init(CONF, N)
+    for j in range(5):
+        _, state = step(state, jnp.asarray(np.stack([blocks[j]] * N)))
+    tail, _ = flush(state)
+
+    feat_step = make_feature_stream_step(crepe, CONF)
+    synth_step = make_synth_stream_step(
+        params, CONF, jax.random.fold_in(key, 0)
+    )
+    sflush = make_synth_stream_flush(
+        params, CONF, jax.random.fold_in(key, 0)
+    )
+    fs, ss = feature_stream_init(CONF), synth_stream_init(CONF)
+    for b in blocks:
+        frame, fs = feat_step(fs, jnp.asarray(b).reshape(1, -1))
+        _, ss = synth_step(ss, frame)
+    want, _ = sflush(ss)
+    np.testing.assert_allclose(
+        np.asarray(tail)[0], np.asarray(want)[0], rtol=0, atol=1e-5
+    )
+
+
+def test_reset_slot_equals_fresh_stream(setup):
+    """After reset_slots, the slot replays a fresh stream bit-faithfully
+    and its neighbors are untouched."""
+    params, crepe = setup
+    key = jax.random.PRNGKey(5)
+    pre = [_blocks(4, seed=20 + i) for i in range(N)]
+    post = [_blocks(6, seed=40 + i) for i in range(N)]
+
+    step = make_multistream_step(params, crepe, CONF, key)
+    state = multistream_init(CONF, N)
+    for j in range(4):
+        _, state = step(state, jnp.asarray(np.stack([p[j] for p in pre])))
+    state = reset_slots(CONF, state, 1)
+
+    got = []
+    for j in range(6):
+        out, state = step(state, jnp.asarray(np.stack([p[j] for p in post])))
+        got.append(np.asarray(out))
+    got = np.stack(got, axis=1)  # (N, 6, hop)
+
+    # slot 1: fresh stream over only the post blocks
+    want1, _ = _run_single(params, crepe, jax.random.fold_in(key, 1), post[1])
+    np.testing.assert_allclose(got[1], want1, rtol=0, atol=1e-5)
+
+    # slot 0: uninterrupted stream over pre + post blocks
+    want0, _ = _run_single(
+        params, crepe, jax.random.fold_in(key, 0),
+        np.concatenate([pre[0], post[0]]),
+    )
+    np.testing.assert_allclose(got[0], want0[4:], rtol=0, atol=1e-5)
+
+
+def test_server_wrapper_end_to_end(setup):
+    params, crepe = setup
+    srv = MultiStreamServer(params, crepe, CONF, n_streams=N, noise_seed=0)
+    for j in range(4):
+        out = srv.process(np.stack([_blocks(4, seed=j)[j % 4]] * N))
+        assert out.shape == (N, CONF.hop_length)
+        assert np.isfinite(out).all()
+    srv.reset([2])
+    assert int(srv.state.n_seen[2]) == 0 and int(srv.state.n_seen[0]) == 4
+    tail = srv.flush()
+    assert tail.shape == (N, CONF.hop_length) and np.isfinite(tail).all()
