@@ -12,6 +12,7 @@ for driver-verifiable evidence beyond the single synth-forward number):
   osc_kernel_speedup_vs_xla             fused Pallas sine-bank vs XLA einsum
   osc_fwd_fraction_of_speed_of_light    measured vs v5e fill+contract bound
   mss_loss_fwdbwd_mfu                   STFT matmuls vs v5e bf16 MXU peak
+  multistream_256_hop_ms                256-client serving step vs RT deadline
 
 Baselines (the reference publishes no numbers, SURVEY.md section 6, so each
 vs_baseline is against its implicit requirement or the BASELINE.json north
@@ -439,6 +440,57 @@ def bench_mss_mfu(conf):
     )
 
 
+def bench_multistream(conf, crepe_params):
+    """256-slot serving step: per-hop device time of the fused multi-stream
+    pipeline (features + controller + synths for every slot).  Baseline =
+    the 11.6 ms real-time deadline; vs_baseline > 1 means 256 concurrent
+    real-time clients fit on one chip (scaling table:
+    scripts/profile_multistream.py + docs/PERFORMANCE.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ddsp_tpu.models.controller import decoder_init
+    from ddsp_tpu.runtime.multistream import (
+        make_multistream_step,
+        multistream_init,
+    )
+
+    n = 256
+    params = decoder_init(jax.random.PRNGKey(0), conf)
+    step = make_multistream_step(params, crepe_params, conf, jax.random.PRNGKey(2))
+    state0 = multistream_init(conf, n)
+    rng = np.random.default_rng(0)
+
+    def make_many(iters):
+        @jax.jit
+        def many(state, seed_blocks):
+            def body(carry, i):
+                st, blocks = carry
+                out, st = step(st, blocks)  # nested jit inlines
+                return (st, jnp.tanh(out)), None  # feedback dependency
+
+            (st, last), _ = jax.lax.scan(
+                body, (state, seed_blocks), jnp.arange(iters)
+            )
+            return jnp.sum(last)
+
+        return many
+
+    dt = _marginal_time(
+        make_many,
+        lambda trial: (
+            state0,
+            jnp.asarray(
+                0.1 * rng.standard_normal((n, conf.hop_length)), jnp.float32
+            ),
+        ),
+    )
+    deadline = conf.hop_length / conf.sample_rate
+    _emit(
+        "multistream_256_hop_ms", 1e3 * dt, "ms/hop (256 slots)", deadline / dt
+    )
+
+
 def main():
     import jax
 
@@ -462,6 +514,7 @@ def main():
         ("long_render", lambda: bench_long_render(conf)),
         ("osc_kernel", lambda: bench_osc_kernel(conf)),
         ("mss_mfu", lambda: bench_mss_mfu(conf)),
+        ("multistream", lambda: bench_multistream(conf, crepe_params)),
     ):
         _note(f"{name}: compiling + measuring...")
         try:

@@ -164,6 +164,52 @@ def test_reset_slot_equals_fresh_stream(setup):
     np.testing.assert_allclose(got[0], want0[4:], rtol=0, atol=1e-5)
 
 
+def test_multistream_slots_shard_over_mesh(setup):
+    """Serving scales out by sharding slots over the 'data' mesh axis: the
+    same fused step with slot-sharded state/blocks must match the
+    unsharded step exactly (N_chips x capacity serving; the step contains
+    no cross-slot coupling, so XLA partitions it without collectives)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ddsp_tpu.parallel.mesh import make_mesh
+
+    params, crepe = setup
+    key = jax.random.PRNGKey(5)
+    n = 8  # one slot per virtual device
+    mesh = make_mesh(n_data=8)
+    shard = NamedSharding(mesh, P("data"))
+
+    step = make_multistream_step(params, crepe, CONF, key)
+    state_l = multistream_init(CONF, n)
+    # slot axis leads every leaf except hidden's (layers, N, H)
+    state_s = jax.tree_util.tree_map(
+        lambda x: jax.device_put(
+            x,
+            NamedSharding(mesh, P("data"))
+            if x.ndim >= 1 and x.shape[0] == n
+            else NamedSharding(mesh, P()),
+        ),
+        state_l,
+    )
+    state_s = state_s._replace(
+        hidden=jax.device_put(
+            state_l.hidden, NamedSharding(mesh, P(None, "data"))
+        )
+    )
+
+    blocks = np.stack([_blocks(3, seed=50 + i) for i in range(n)], axis=1)
+    got_l, got_s = [], []
+    for j in range(3):
+        b = jnp.asarray(blocks[j])
+        out_l, state_l = step(state_l, b)
+        out_s, state_s = step(state_s, jax.device_put(b, shard))
+        got_l.append(np.asarray(out_l))
+        got_s.append(np.asarray(out_s))
+    np.testing.assert_allclose(
+        np.stack(got_s), np.stack(got_l), rtol=0, atol=1e-5
+    )
+
+
 def test_server_wrapper_end_to_end(setup):
     params, crepe = setup
     srv = MultiStreamServer(params, crepe, CONF, n_streams=N, noise_seed=0)
