@@ -4,7 +4,10 @@ The reference leans on torchaudio/soundfile (reference:
 dataset/audio_dataset.py:30, train/train.py:41); neither exists in this
 environment, so WAV read/write is implemented directly (PCM 8/16/24/32 and
 float32/float64, via the stdlib ``wave``-compatible RIFF layout parsed with
-numpy).  Compressed formats raise a clear error listing the offending file.
+numpy).  Compressed formats (mp3/ogg/flac) decode through the first
+importable backend -- soundfile, torchaudio, librosa, or pygame/SDL_mixer
+at the native rate parsed from the container header -- and raise a clear
+error listing the offending file when none is installed.
 """
 
 from __future__ import annotations
@@ -25,8 +28,8 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
         data = f.read()
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise UnsupportedAudioFormat(
-            f"{path}: not a WAV file (compressed formats like mp3/ogg are not "
-            "supported in this environment; convert to wav)"
+            f"{path}: not a WAV file (compressed formats go through "
+            "read_audio, which needs a decoder backend)"
         )
     pos = 12
     fmt = None
@@ -104,7 +107,107 @@ def have_compressed_backend() -> bool:
             # whose __spec__ is None (e.g. a test stub) -- not a backend.
             return False
 
-    return any(usable(m) for m in ("soundfile", "torchaudio", "librosa"))
+    return any(usable(m) for m in ("soundfile", "torchaudio", "librosa", "pygame"))
+
+
+# MPEG audio sample rates indexed by [version bits][rate bits]; version bits:
+# 0 = MPEG-2.5, 2 = MPEG-2, 3 = MPEG-1 (1 is reserved).
+_MPEG_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def probe_mp3(data: bytes) -> Tuple[int, int]:
+    """(sample_rate, channels) from the first valid MPEG audio frame header.
+
+    Skips a leading ID3v2 tag (sync-safe size), then scans for the 11-bit
+    frame sync.  Raises :class:`UnsupportedAudioFormat` if no frame is found.
+    """
+    pos = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        size = (
+            ((data[6] & 0x7F) << 21)
+            | ((data[7] & 0x7F) << 14)
+            | ((data[8] & 0x7F) << 7)
+            | (data[9] & 0x7F)
+        )
+        pos = 10 + size
+    end = min(len(data) - 3, pos + (1 << 20))  # sync must appear within ~1 MB
+    while pos < end:
+        if data[pos] == 0xFF and (data[pos + 1] & 0xE0) == 0xE0:
+            version = (data[pos + 1] >> 3) & 3
+            layer = (data[pos + 1] >> 1) & 3
+            rate_idx = (data[pos + 2] >> 2) & 3
+            mode = (data[pos + 3] >> 6) & 3
+            if version != 1 and layer != 0 and rate_idx != 3:
+                return _MPEG_RATES[version][rate_idx], 1 if mode == 3 else 2
+        pos += 1
+    raise UnsupportedAudioFormat("no MPEG audio frame header found")
+
+
+def probe_ogg_vorbis(data: bytes) -> Tuple[int, int]:
+    """(sample_rate, channels) from the Vorbis identification header.
+
+    The id header is the first packet of the first Ogg page: the marker
+    ``\\x01vorbis`` followed by version(u32) channels(u8) rate(u32le).
+    """
+    i = data.find(b"\x01vorbis", 0, 1 << 16)
+    if data[:4] != b"OggS" or i < 0 or i + 16 > len(data):
+        raise UnsupportedAudioFormat("no Ogg Vorbis identification header found")
+    channels = data[i + 11]
+    rate = struct.unpack("<I", data[i + 12 : i + 16])[0]
+    return rate, channels
+
+
+def probe_flac(data: bytes) -> Tuple[int, int]:
+    """(sample_rate, channels) from the FLAC STREAMINFO block."""
+    if data[:4] != b"fLaC" or len(data) < 26:
+        raise UnsupportedAudioFormat("not a FLAC stream")
+    b = data[8:]  # STREAMINFO body (first metadata block is mandatory)
+    rate = (b[10] << 12) | (b[11] << 4) | (b[12] >> 4)
+    channels = ((b[12] >> 1) & 7) + 1
+    return rate, channels
+
+
+def _probe_compressed(data: bytes) -> Tuple[int, int]:
+    if data[:4] == b"OggS":
+        return probe_ogg_vorbis(data)
+    if data[:4] == b"fLaC":
+        return probe_flac(data)
+    return probe_mp3(data)
+
+
+def read_via_pygame(path: str) -> Tuple[np.ndarray, int]:
+    """Decode mp3/ogg/flac through pygame's SDL_mixer at the file's native rate.
+
+    SDL_mixer converts every Sound to the mixer's output spec, so the native
+    (rate, channels) are parsed from the container header first and the
+    (dummy-audio-device) mixer is opened to match -- no resampling happens and
+    the returned samples are the decoder's raw int16 output scaled to float32.
+    """
+    import os
+
+    os.environ.setdefault("SDL_AUDIODRIVER", "dummy")
+    try:
+        import pygame
+    except ImportError as e:  # pragma: no cover - guarded by caller
+        raise UnsupportedAudioFormat(f"{path}: pygame backend unavailable: {e}")
+
+    with open(path, "rb") as f:
+        head = f.read(1 << 20)
+    rate, channels = _probe_compressed(head)
+
+    init = pygame.mixer.get_init()
+    if init != (rate, -16, channels):
+        if init is not None:
+            pygame.mixer.quit()
+        pygame.mixer.init(frequency=rate, size=-16, channels=channels, buffer=512)
+    try:
+        sound = pygame.mixer.Sound(path)
+        arr = pygame.sndarray.array(sound)
+    except pygame.error as e:
+        raise UnsupportedAudioFormat(f"{path}: SDL_mixer could not decode: {e}")
+    x = np.asarray(arr, np.float32) / 32768.0
+    x = x[None, :] if x.ndim == 1 else x.T
+    return np.ascontiguousarray(x), rate
 
 
 def read_audio(path: str) -> Tuple[np.ndarray, int]:
@@ -139,8 +242,14 @@ def read_audio(path: str) -> Tuple[np.ndarray, int]:
         return y.astype(np.float32), int(sr)
     except ImportError:
         pass
+    try:
+        import pygame  # noqa: F401 -- SDL_mixer decode fallback
+
+        return read_via_pygame(path)
+    except ImportError:
+        pass
     raise UnsupportedAudioFormat(
-        f"{path}: compressed audio needs soundfile/torchaudio/librosa "
+        f"{path}: compressed audio needs soundfile/torchaudio/librosa/pygame "
         "(none installed); convert to wav"
     )
 

@@ -60,9 +60,10 @@ def _params_digest(params) -> str:
 def list_audio_files(data_dir: str):
     """Glob wav (+ mp3/ogg/flac when a decoder backend is installed).
 
-    Mirrors the reference's wav/mp3/ogg glob (audio_dataset.py:22-24); this
-    environment ships no compressed-audio decoder, so without
-    soundfile/torchaudio/librosa those files produce a clear error instead.
+    Mirrors the reference's wav/mp3/ogg glob (audio_dataset.py:22-24);
+    compressed files decode through soundfile/torchaudio/librosa/pygame
+    (audio_io.read_audio), and without any such backend they produce a
+    clear error instead.
     """
     files = []
     for ext in ("wav", "WAV"):
@@ -76,8 +77,8 @@ def list_audio_files(data_dir: str):
         elif not files:
             raise ValueError(
                 f"Only compressed audio found ({compressed[:3]}...) and no "
-                "decoder backend (soundfile/torchaudio/librosa) is installed; "
-                "convert to wav"
+                "decoder backend (soundfile/torchaudio/librosa/pygame) is "
+                "installed; convert to wav"
             )
     if not files:
         raise ValueError(f"No valid audio files found in {data_dir!r}")
