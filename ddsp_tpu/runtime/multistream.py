@@ -87,18 +87,56 @@ def _slot_noise(
     return jax.vmap(draw)(slot_keys, offsets)  # (N, 1, block)
 
 
+def _where_rows(mask: jnp.ndarray, new: MultiStreamState, old: MultiStreamState) -> MultiStreamState:
+    """Per-slot select: rows where ``mask`` take ``new``, others keep ``old``.
+
+    The slot axis leads every leaf except ``hidden``'s (layers, N, H).
+    """
+    n = mask.shape[0]
+
+    def rows(o, nw, axis):
+        shape = [1] * o.ndim
+        shape[axis] = n
+        return jnp.where(mask.reshape(shape), nw, o)
+
+    return MultiStreamState(
+        feat=FeatureStreamState(buffer=rows(old.feat.buffer, new.feat.buffer, 0)),
+        hidden=rows(old.hidden, new.hidden, 1),
+        phase=rows(old.phase, new.phase, 0),
+        prev=jax.tree_util.tree_map(lambda o, nw: rows(o, nw, 0), old.prev, new.prev),
+        cur=jax.tree_util.tree_map(lambda o, nw: rows(o, nw, 0), old.cur, new.cur),
+        pending=jax.tree_util.tree_map(
+            lambda o, nw: rows(o, nw, 0), old.pending, new.pending
+        ),
+        n_seen=rows(old.n_seen, new.n_seen, 0),
+        reverb_hist=rows(old.reverb_hist, new.reverb_hist, 0),
+    )
+
+
 def make_multistream_step(
-    params: Dict, crepe_params: Dict, conf: Config, noise_key: jax.Array
+    params: Dict,
+    crepe_params: Dict,
+    conf: Config,
+    noise_key: jax.Array,
+    masked: bool = False,
 ):
     """Jitted (state, blocks (N, hop)) -> (out_blocks (N, hop), state).
 
     Mirrors the single-stream pipeline (runtime/streaming.py: one feature
     frame per hop, one-frame render lookahead, zeros while each slot's
     pipeline fills) with every per-slot condition vectorized over rows.
+
+    With ``masked=True`` the signature becomes (state, blocks, active) where
+    ``active`` is an (N,) bool mask: all slots are stepped on device but only
+    active rows commit to the returned state -- inactive slots are frozen
+    exactly (their output rows are garbage and must be ignored).  This is
+    the serving-host building block: asynchronous clients step their slots
+    only when they have delivered a block, in whatever batches happen to be
+    pending, and each slot's sequence stays bit-identical to an independent
+    lockstep stream (tests/test_server.py).
     """
     feat_step = make_feature_stream_step(crepe_params, conf)
 
-    @jax.jit
     def step(state: MultiStreamState, blocks: jnp.ndarray):
         frame, feat = feat_step(state.feat, blocks)
         controls, hidden = controller_apply(
@@ -145,7 +183,17 @@ def make_multistream_step(
         )
         return out, new_state
 
-    return step
+    if not masked:
+        return jax.jit(step)
+
+    @jax.jit
+    def step_masked(
+        state: MultiStreamState, blocks: jnp.ndarray, active: jnp.ndarray
+    ):
+        out, new_state = step(state, blocks)
+        return out, _where_rows(active, new_state, state)
+
+    return step_masked
 
 
 def make_multistream_flush(
@@ -189,32 +237,7 @@ def reset_slots(
     n = state.n_seen.shape[0]
     mask = np.zeros((n,), bool)
     mask[np.asarray(slots)] = True
-    mask = jnp.asarray(mask)
-    fresh = multistream_init(conf, n)
-
-    def rows(old, new, axis):
-        shape = [1] * old.ndim
-        shape[axis] = n
-        return jnp.where(mask.reshape(shape), new, old)
-
-    return MultiStreamState(
-        feat=FeatureStreamState(
-            buffer=rows(state.feat.buffer, fresh.feat.buffer, 0)
-        ),
-        hidden=rows(state.hidden, fresh.hidden, 1),  # (layers, N, H)
-        phase=rows(state.phase, fresh.phase, 0),
-        prev=jax.tree_util.tree_map(
-            lambda o, f: rows(o, f, 0), state.prev, fresh.prev
-        ),
-        cur=jax.tree_util.tree_map(
-            lambda o, f: rows(o, f, 0), state.cur, fresh.cur
-        ),
-        pending=jax.tree_util.tree_map(
-            lambda o, f: rows(o, f, 0), state.pending, fresh.pending
-        ),
-        n_seen=rows(state.n_seen, fresh.n_seen, 0),
-        reverb_hist=rows(state.reverb_hist, fresh.reverb_hist, 0),
-    )
+    return _where_rows(jnp.asarray(mask), multistream_init(conf, n), state)
 
 
 class MultiStreamServer:

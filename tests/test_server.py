@@ -1,0 +1,219 @@
+"""Network serving host (runtime/server.py): asynchronous socket clients
+must each observe bit-identical lockstep single-stream semantics.
+
+Builds on the multi-stream slot-equivalence contract
+(tests/test_multistream.py): slot i of the fused step == an independent
+stream keyed fold_in(key, i).  Here the masked step additionally freezes
+slots with no pending input, so arbitrary client interleavings (concurrent
+clients, late joiners, disconnect + slot reuse) must reproduce the same
+per-slot sequences the synchronous oracle produces.
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ddsp_tpu.config import Config
+from ddsp_tpu.models.controller import decoder_init
+from ddsp_tpu.models.crepe import crepe_init
+from ddsp_tpu.runtime.multistream import (
+    make_multistream_step,
+    multistream_init,
+)
+from ddsp_tpu.runtime.server import StreamServer, stream_blocks, stream_file
+
+CONF = Config(
+    sample_rate=4000,
+    n_fft=256,
+    hop_length=64,
+    n_harmonics=12,
+    n_noise_filters=9,
+    decoder_mlp_units=16,
+    decoder_mlp_layers=1,
+    decoder_gru_units=16,
+    reverb_length=300,
+    crepe_window=1024,
+    crepe_sample_rate=16000,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = decoder_init(jax.random.PRNGKey(0), CONF)
+    crepe = crepe_init(jax.random.PRNGKey(1), "tiny")
+    return params, crepe
+
+
+def _blocks(n_blocks, seed):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n_blocks * CONF.hop_length) / CONF.sample_rate
+    sig = (0.4 * np.sin(2 * np.pi * rng.uniform(100, 300) * t)).astype(
+        np.float32
+    )
+    sig += (0.01 * rng.standard_normal(sig.size)).astype(np.float32)
+    return sig.reshape(n_blocks, CONF.hop_length)
+
+
+def _oracle(params, crepe, key, blocks, with_tail=True):
+    """Single-stream lockstep reference incl. the flush tail."""
+    from ddsp_tpu.runtime.streaming import (
+        feature_stream_init,
+        make_feature_stream_step,
+        make_synth_stream_flush,
+        make_synth_stream_step,
+        synth_stream_init,
+    )
+
+    feat_step = make_feature_stream_step(crepe, CONF)
+    synth_step = make_synth_stream_step(params, CONF, key)
+    fs, ss = feature_stream_init(CONF), synth_stream_init(CONF)
+    outs = []
+    for b in blocks:
+        frame, fs = feat_step(fs, jnp.asarray(b).reshape(1, -1))
+        out, ss = synth_step(ss, frame)
+        outs.append(np.asarray(out)[0])
+    if with_tail:
+        tail, _ = make_synth_stream_flush(params, CONF, key)(ss)
+        outs.append(np.asarray(tail)[0])
+    return np.stack(outs)
+
+
+def test_masked_step_freezes_inactive_slots(setup):
+    """Interleaved masked stepping == each slot stepped alone."""
+    params, crepe = setup
+    key = jax.random.PRNGKey(5)
+    n = 2
+    step = make_multistream_step(params, crepe, CONF, key, masked=True)
+    state = multistream_init(CONF, n)
+    a, b = _blocks(5, seed=1), _blocks(3, seed=2)
+
+    # slot 0 gets blocks on every tick, slot 1 only on ticks 1, 3, 4
+    outs = {0: [], 1: []}
+    sched = [(0,), (0, 1), (0,), (0, 1), (0, 1)]
+    ia = ib = 0
+    for active in sched:
+        blocks = np.zeros((n, CONF.hop_length), np.float32)
+        mask = np.zeros((n,), bool)
+        if 0 in active:
+            blocks[0], mask[0], ia = a[ia], True, ia + 1
+        if 1 in active:
+            blocks[1], mask[1], ib = b[ib], True, ib + 1
+        out, state = step(state, jnp.asarray(blocks), jnp.asarray(mask))
+        for s in active:
+            outs[s].append(np.asarray(out)[s])
+
+    want0 = _oracle(params, crepe, jax.random.fold_in(key, 0), a, False)
+    want1 = _oracle(params, crepe, jax.random.fold_in(key, 1), b, False)
+    np.testing.assert_allclose(np.stack(outs[0]), want0, rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.stack(outs[1]), want1, rtol=0, atol=1e-5)
+
+
+@pytest.fixture
+def server(setup, tmp_path):
+    params, crepe = setup
+    srv = StreamServer(
+        params, crepe, CONF, str(tmp_path / "synth.sock"), n_streams=2,
+        noise_seed=0,
+    ).start()
+    yield srv
+    srv.close()
+
+
+def test_concurrent_clients_match_oracles(setup, server):
+    """Two concurrent socket clients each reproduce their slot's oracle."""
+    params, crepe = setup
+    key = jax.random.PRNGKey(0)  # server noise_seed=0
+    inputs = {0: _blocks(8, seed=11), 1: _blocks(6, seed=12)}
+    results = {}
+
+    def run(idx):
+        out, slot = stream_blocks(server.address, inputs[idx])
+        results[idx] = (out, slot)
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in (0, 1)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert set(results) == {0, 1}
+    slots = {results[i][1] for i in results}
+    assert slots == {0, 1}  # both slots handed out
+    for i in results:
+        out, slot = results[i]
+        want = _oracle(params, crepe, jax.random.fold_in(key, slot), inputs[i])
+        np.testing.assert_allclose(
+            out, want, rtol=0, atol=1e-5,
+            err_msg=f"client {i} (slot {slot}) diverged",
+        )
+
+
+def test_slot_reuse_after_disconnect(setup, server):
+    """A reconnecting client gets a bit-fresh stream on the reused slot."""
+    params, crepe = setup
+    key = jax.random.PRNGKey(0)
+    first = _blocks(4, seed=21)
+    out1, slot1 = stream_blocks(server.address, first)
+    np.testing.assert_allclose(
+        out1, _oracle(params, crepe, jax.random.fold_in(key, slot1), first),
+        rtol=0, atol=1e-5,
+    )
+    second = _blocks(5, seed=22)
+    out2, slot2 = stream_blocks(server.address, second)
+    assert slot2 == slot1  # freed slot is reused
+    np.testing.assert_allclose(
+        out2, _oracle(params, crepe, jax.random.fold_in(key, slot2), second),
+        rtol=0, atol=1e-5, err_msg="slot state leaked across clients",
+    )
+
+
+def test_server_full_rejects(setup, server):
+    """A third client on a 2-slot server gets a FULL handshake."""
+    hold = threading.Event()
+    release = threading.Event()
+
+    def occupy(seed):
+        import socket as socket_mod
+
+        s = socket_mod.socket(socket_mod.AF_UNIX)
+        s.connect(server.address)
+        from ddsp_tpu.runtime.server import HEADER, _recv_exact
+
+        hdr = _recv_exact(s, HEADER.size)
+        assert HEADER.unpack(hdr)[0] == b"DSPT"
+        hold.set()
+        release.wait(timeout=30)
+        s.close()
+
+    occupiers = [
+        threading.Thread(target=occupy, args=(i,)) for i in range(2)
+    ]
+    for t in occupiers:
+        t.start()
+        hold.wait(timeout=10)
+        hold.clear()
+    with pytest.raises(ConnectionError, match="full"):
+        stream_blocks(server.address, _blocks(1, seed=30))
+    release.set()
+    for t in occupiers:
+        t.join(timeout=10)
+
+
+def test_stream_file_roundtrip(setup, server, tmp_path):
+    """File in, file out over the wire; length preserved incl. tail."""
+    from ddsp_tpu.data.audio_io import read_wav, write_wav
+
+    n_blocks = 5
+    sig = _blocks(n_blocks, seed=40).reshape(-1)
+    in_path = str(tmp_path / "in.wav")
+    out_path = str(tmp_path / "out.wav")
+    write_wav(in_path, sig, CONF.sample_rate)
+    audio = stream_file(server.address, in_path, out_path)
+    # n input hops -> n output hops + 1 flush tail hop
+    assert audio.shape == ((n_blocks + 1) * CONF.hop_length,)
+    assert np.isfinite(audio).all()
+    y, sr = read_wav(out_path)
+    assert sr == CONF.sample_rate and y.shape[1] == audio.shape[0]
