@@ -506,6 +506,31 @@ def main():
     )
 
     failures = 0
+    # Watchdog: a wedged tunnel/compile must not hang the whole suite --
+    # metrics already emitted still reach the driver (one line each,
+    # flushed), and later metrics get their chance.  A stuck worker thread
+    # is daemonized (unkillable but abandoned); total runtime stays bounded.
+    timeout_s = float(os.environ.get("BENCH_METRIC_TIMEOUT", "900"))
+    import threading
+
+    def run_with_timeout(name, fn):
+        box = []
+        done = threading.Event()
+
+        def work():
+            try:
+                fn()
+            except Exception as e:
+                box.append(e)
+            finally:
+                done.set()
+
+        threading.Thread(target=work, daemon=True).start()
+        if not done.wait(timeout_s):
+            raise TimeoutError(f"exceeded {timeout_s:.0f}s (tunnel wedged?)")
+        if box:
+            raise box[0]
+
     for name, fn in (
         ("synth_forward", lambda: bench_synth_forward(conf)),
         ("train_step", lambda: bench_train_step(conf)),
@@ -518,7 +543,7 @@ def main():
     ):
         _note(f"{name}: compiling + measuring...")
         try:
-            fn()
+            run_with_timeout(name, fn)
         except Exception as e:  # one broken metric must not hide the rest
             failures += 1
             _note(f"{name}: FAILED: {type(e).__name__}: {e}")
