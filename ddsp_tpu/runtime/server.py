@@ -402,6 +402,11 @@ def main(argv=None) -> None:
     if crepe_checkpoint:
         crepe = load_torch_checkpoint(crepe_checkpoint)
     else:
+        print(
+            "warning: no --crepe_checkpoint given; serving with randomly "
+            "initialized CREPE weights (pitch tracking will be useless)",
+            file=sys.stderr,
+        )
         crepe = crepe_init(jax.random.PRNGKey(0), conf.crepe_capacity)
 
     address: Address
