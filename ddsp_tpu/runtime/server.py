@@ -374,6 +374,16 @@ def main(argv=None) -> None:
     import sys
 
     args = list(sys.argv[1:] if argv is None else argv)
+    if "--help" in args or "-h" in args:
+        print(
+            "usage: python -m ddsp_tpu.runtime.server [--listen=HOST:PORT|"
+            "UNIX_PATH] [--n_streams=N]\n"
+            "         [--checkpoint_dir=DIR | --lightning_ckpt=F.ckpt]\n"
+            "         [--crepe_checkpoint=F.pth] [--<config_field>=VALUE ...]\n\n"
+            "Serve N concurrent real-time synth clients from one chip over\n"
+            "the fused multi-stream step.  Protocol: see the module docstring."
+        )
+        return
     listen = "127.0.0.1:9600"
     n_streams = 16
     lightning_ckpt = crepe_checkpoint = ""
