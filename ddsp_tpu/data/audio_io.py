@@ -193,6 +193,19 @@ def read_via_pygame(path: str) -> Tuple[np.ndarray, int]:
 
     with open(path, "rb") as f:
         head = f.read(1 << 20)
+        # An ID3v2 tag can exceed the probe head (multi-MB embedded album
+        # art is common); its sync-safe size says how far the audio frames
+        # start, so extend the read past the tag plus a scan margin.
+        if head[:3] == b"ID3" and len(head) >= 10:
+            tag_end = 10 + (
+                ((head[6] & 0x7F) << 21)
+                | ((head[7] & 0x7F) << 14)
+                | ((head[8] & 0x7F) << 7)
+                | (head[9] & 0x7F)
+            )
+            if tag_end + (1 << 16) > len(head):
+                f.seek(0)
+                head = f.read(tag_end + (1 << 16))
     rate, channels = _probe_compressed(head)
 
     init = pygame.mixer.get_init()

@@ -193,7 +193,9 @@ class StreamServer:
         while not self._stop.is_set():
             if slot.out_ready.wait(timeout=0.5):
                 slot.out_ready.clear()
-                return True
+                # a shutdown/engine-failure wakeup carries no data: treat it
+                # as a disconnect, not a delivery
+                return slot.out is not None and not self._stop.is_set()
         return False
 
     def _client_loop(self, conn: socket.socket, slot_id: int) -> None:
@@ -245,7 +247,28 @@ class StreamServer:
         slot, run one masked device step for whichever slots had input,
         then serve flush requests (a tail render that reads state without
         committing it -- the flushed slot is reset on disconnect and no
-        other row may move)."""
+        other row may move).
+
+        Any device failure (transient tunnel outage, compile error) stops
+        the server instead of silently killing this thread: clients blocked
+        in _await_output observe _stop and disconnect rather than hanging
+        forever against a dead engine."""
+        try:
+            self._engine_iterations()
+        except Exception as e:  # noqa: BLE001 -- deliberate catch-all
+            import sys
+
+            print(
+                f"ddsp_tpu server: engine failed, shutting down: "
+                f"{type(e).__name__}: {e}",
+                file=sys.stderr,
+                flush=True,
+            )
+            self._stop.set()
+            for s in self._slots:
+                s.out_ready.set()
+
+    def _engine_iterations(self) -> None:
         zeros = np.zeros((self.hop,), np.float32)
         while not self._stop.is_set():
             self._work.wait(timeout=0.2)
@@ -290,14 +313,18 @@ class StreamServer:
 # ------------------------------------------------------------------ client
 
 
-def stream_blocks(address: Address, blocks: np.ndarray) -> Tuple[np.ndarray, int]:
+def stream_blocks(
+    address: Address, blocks: np.ndarray, timeout: Optional[float] = 120.0
+) -> Tuple[np.ndarray, int]:
     """Lockstep client: send (n, hop) blocks, return ((n+1, hop) outputs
     including the flush tail, slot_id).  Raises ConnectionError when the
-    server is full."""
+    server is full, socket.timeout when the host stops responding for
+    ``timeout`` seconds (a dead engine must not hang the caller forever)."""
     sock = socket.socket(
         socket.AF_UNIX if isinstance(address, str) else socket.AF_INET
     )
     try:
+        sock.settimeout(timeout)
         sock.connect(address)
         hdr = _recv_exact(sock, HEADER.size)
         if hdr is None:
@@ -324,7 +351,10 @@ def stream_blocks(address: Address, blocks: np.ndarray) -> Tuple[np.ndarray, int
 
 
 def stream_file(
-    address: Address, in_path: str, out_path: str = ""
+    address: Address,
+    in_path: str,
+    out_path: str = "",
+    timeout: Optional[float] = 120.0,
 ) -> np.ndarray:
     """Stream a whole audio file through a serving host; the network
     counterpart of runtime/jack_io.run_file_loopback.  Returns the
@@ -336,6 +366,7 @@ def stream_file(
         socket.AF_UNIX if isinstance(address, str) else socket.AF_INET
     )
     try:
+        sock.settimeout(timeout)
         sock.connect(address)
         hdr = _recv_exact(sock, HEADER.size)
         if hdr is None:
@@ -368,6 +399,20 @@ def stream_file(
     if out_path:
         write_wav(out_path, audio, rate)
     return audio
+
+
+def parse_listen(listen: str) -> Address:
+    """``--listen`` value -> server address.
+
+    A path-looking value (leading ``/`` or ``./``) is always a unix socket,
+    even if it contains ``:``; otherwise ``HOST:PORT`` (IPv4 / hostname
+    only -- bracketed IPv6 literals are not supported by this CLI) or a
+    bare unix path.
+    """
+    if listen.startswith(("/", "./")) or ":" not in listen:
+        return listen  # unix socket path
+    host, port = listen.rsplit(":", 1)
+    return (host, int(port))
 
 
 def main(argv=None) -> None:
@@ -419,12 +464,7 @@ def main(argv=None) -> None:
         )
         crepe = crepe_init(jax.random.PRNGKey(0), conf.crepe_capacity)
 
-    address: Address
-    if ":" in listen:
-        host, port = listen.rsplit(":", 1)
-        address = (host, int(port))
-    else:
-        address = listen  # unix socket path
+    address = parse_listen(listen)
     server = StreamServer(
         params, crepe, conf, address, n_streams=n_streams
     ).start()

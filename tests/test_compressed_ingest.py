@@ -145,6 +145,32 @@ def test_load_examples_from_mp3_corpus(tmp_path):
     assert np.isfinite(ex).all() and float(np.abs(ex).max()) > 0.05
 
 
+@needs_pygame
+def test_mp3_oversized_id3_tag(tmp_path):
+    """An ID3v2 tag larger than the 1 MB probe head (e.g. embedded album
+    art) must not defeat the native-rate probe (round-2 ADVICE, low): the
+    sync-safe tag size says where the audio frames start, so the reader
+    extends the head past the tag."""
+
+    def syncsafe(n):
+        return bytes(
+            [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+        )
+
+    tag_body = bytes(1_500_000)  # 1.5 MB of padding (> the 1 MB probe head)
+    tag = b"ID3\x04\x00\x00" + syncsafe(len(tag_body)) + tag_body
+    with open(MP3_FIXTURE, "rb") as f:
+        payload = f.read()
+    big = tmp_path / "big_tag.mp3"
+    big.write_bytes(tag + payload)
+
+    y_ref, sr_ref = audio_io.read_via_pygame(MP3_FIXTURE)
+    y, sr = audio_io.read_via_pygame(str(big))
+    assert sr == sr_ref  # probe found the frame header past the tag
+    assert y.shape[0] == y_ref.shape[0]
+    assert abs(y.shape[1] - y_ref.shape[1]) <= sr  # decoder may trim edges
+
+
 def test_backend_detected_here():
     """This environment ships pygame, so compressed ingest must be live."""
     if not _have_pygame_and_fixtures():
