@@ -37,6 +37,15 @@ synchronous round trip and any caching cannot distort device time; median
 of varied-input trials after a compile+warm-up call.  Throughput chains use
 the marginal (T_HI - T_LO)/(HI - LO) between two chain lengths to subtract
 the fixed per-call cost.
+
+Robustness against tunnel wedges (round-2 VERDICT Weak #1: the r02 run
+exited 1 because one watchdog timeout fired during a transient outage):
+a trivial-jit probe runs before the suite; a watchdog timeout abandons the
+worker but the next task first drains it (no two concurrent device jobs on
+this 2-CPU host); failed/timed-out tasks get one retry pass after a fresh
+probe; the last stdout line is a summary JSON carrying every measured
+value (the driver keeps only the last line); exit status is 0 exactly when
+every task's metrics were ultimately measured.
 """
 
 import json
@@ -56,18 +65,22 @@ def _note(msg):
     print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 
+# Every emitted metric is also recorded here so the suite can (a) decide
+# which tasks need the retry pass, (b) print one final summary line carrying
+# all values (the driver's tail-parse only keeps the last JSON line), and
+# (c) exit 0 exactly when everything was ultimately measured.
+RESULTS = {}
+
+
 def _emit(metric, value, unit, vs_baseline):
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(float(value), 4),
-                "unit": unit,
-                "vs_baseline": round(float(vs_baseline), 4),
-            }
-        ),
-        flush=True,
-    )
+    rec = {
+        "metric": metric,
+        "value": round(float(value), 4),
+        "unit": unit,
+        "vs_baseline": round(float(vs_baseline), 4),
+    }
+    RESULTS[metric] = rec
+    print(json.dumps(rec), flush=True)
 
 
 def _marginal_time(make_many, args_for_trial):
@@ -271,6 +284,19 @@ def bench_encode(conf, crepe_params):
         round(sps, 1),
         "audio samples/s",
         sps / (RT_TARGET * conf.sample_rate),
+    )
+    # Encoder roofline (round-2 VERDICT Weak #6): achieved CREPE-conv +
+    # loudness-STFT FLOP/s vs the bf16 MXU peak (accounting in
+    # ddsp_tpu/utils/roofline.encode_flops; the convs run f32-DEFAULT =
+    # 3 bf16 passes, so 1/3 is this path's precision ceiling).
+    from ddsp_tpu.utils.roofline import MXU_BF16, encode_flops
+
+    flops = encode_flops(batch, conf.frames_per_example, conf)
+    _emit(
+        "encode_mfu",
+        flops / dt / MXU_BF16,
+        "fraction of v5e bf16 MXU peak",
+        flops / dt / MXU_BF16,
     )
 
 
@@ -491,6 +517,91 @@ def bench_multistream(conf, crepe_params):
     )
 
 
+import threading
+
+# Workers abandoned by a watchdog timeout (daemon threads can't be killed).
+# They are drained before any later device work so two TPU jobs never run
+# concurrently on this 2-CPU host (round-2 ADVICE: a reviving worker would
+# contaminate every later metric).
+_ABANDONED = []
+
+
+def _drain_abandoned(grace_s: float) -> bool:
+    """Join abandoned workers; True when none are left running."""
+    global _ABANDONED
+    deadline = time.monotonic() + grace_s
+    still = []
+    for name, thread in _ABANDONED:
+        thread.join(timeout=max(0.0, deadline - time.monotonic()))
+        if thread.is_alive():
+            still.append((name, thread))
+        else:
+            _note(f"{name}: abandoned worker finished late")
+    _ABANDONED = still
+    return not still
+
+
+def _tunnel_probe(timeout_s: float = 150.0) -> bool:
+    """Trivial-jit device probe (CLAUDE.md: the tunnel occasionally goes
+    unresponsive for ~30+ min; probe before long drives)."""
+    import jax
+    import jax.numpy as jnp
+
+    ok = []
+    done = threading.Event()
+    salt = time.monotonic_ns() % 1000  # new values -> a real device execution
+
+    def work():
+        try:
+            x = jnp.full((128, 128), 1.0 + 1e-6 * salt, jnp.float32)
+            jax.block_until_ready(jax.jit(lambda a: (a @ a).sum())(x))
+            ok.append(True)
+        except Exception as e:  # noqa: BLE001 -- a dead probe is the signal
+            _note(f"tunnel probe error: {type(e).__name__}: {e}")
+        finally:
+            done.set()
+
+    threading.Thread(target=work, daemon=True).start()
+    if done.wait(timeout_s) and ok:
+        return True
+    return False
+
+
+def _probe_until_alive(attempts: int = 4, wait_s: float = 120.0) -> bool:
+    for attempt in range(attempts):
+        if _tunnel_probe():
+            return True
+        _note(
+            f"tunnel probe {attempt + 1}/{attempts} failed; "
+            f"waiting {wait_s:.0f}s for the link to recover"
+        )
+        time.sleep(wait_s)
+    return False
+
+
+def _run_with_timeout(name, fn, timeout_s):
+    """Run fn on a watchdog thread.  Raises TimeoutError on expiry (the
+    worker is recorded in _ABANDONED for draining before later work)."""
+    box = []
+    done = threading.Event()
+
+    def work():
+        try:
+            fn()
+        except Exception as e:
+            box.append(e)
+        finally:
+            done.set()
+
+    thread = threading.Thread(target=work, daemon=True)
+    thread.start()
+    if not done.wait(timeout_s):
+        _ABANDONED.append((name, thread))
+        raise TimeoutError(f"exceeded {timeout_s:.0f}s (tunnel wedged?)")
+    if box:
+        raise box[0]
+
+
 def main():
     import jax
 
@@ -505,51 +616,94 @@ def main():
         else crepe_init(jax.random.PRNGKey(2), capacity=conf.crepe_capacity)
     )
 
-    failures = 0
-    # Watchdog: a wedged tunnel/compile must not hang the whole suite --
-    # metrics already emitted still reach the driver (one line each,
-    # flushed), and later metrics get their chance.  A stuck worker thread
-    # is daemonized (unkillable but abandoned); total runtime stays bounded.
     timeout_s = float(os.environ.get("BENCH_METRIC_TIMEOUT", "900"))
-    import threading
+    tasks = [
+        # (name, fn, metrics the task emits when it completes)
+        ("synth_forward", lambda: bench_synth_forward(conf),
+         ("synth_forward_samples_per_s_per_chip",)),
+        ("train_step", lambda: bench_train_step(conf), ("train_step_ms",)),
+        ("stream_hop", lambda: bench_stream_hop(conf, crepe_params),
+         ("stream_hop_ms",)),
+        ("encode", lambda: bench_encode(conf, crepe_params),
+         ("encode_samples_per_s_per_chip", "encode_mfu")),
+        ("long_render", lambda: bench_long_render(conf),
+         ("long_render_samples_per_s",)),
+        ("osc_kernel", lambda: bench_osc_kernel(conf),
+         ("osc_kernel_speedup_vs_xla", "osc_fwd_fraction_of_speed_of_light")),
+        ("mss_mfu", lambda: bench_mss_mfu(conf), ("mss_loss_fwdbwd_mfu",)),
+        ("multistream", lambda: bench_multistream(conf, crepe_params),
+         ("multistream_256_hop_ms",)),
+    ]
+    done = {name: False for name, _, _ in tasks}
 
-    def run_with_timeout(name, fn):
-        box = []
-        done = threading.Event()
-
-        def work():
-            try:
-                fn()
-            except Exception as e:
-                box.append(e)
-            finally:
-                done.set()
-
-        threading.Thread(target=work, daemon=True).start()
-        if not done.wait(timeout_s):
-            raise TimeoutError(f"exceeded {timeout_s:.0f}s (tunnel wedged?)")
-        if box:
-            raise box[0]
-
-    for name, fn in (
-        ("synth_forward", lambda: bench_synth_forward(conf)),
-        ("train_step", lambda: bench_train_step(conf)),
-        ("stream_hop", lambda: bench_stream_hop(conf, crepe_params)),
-        ("encode", lambda: bench_encode(conf, crepe_params)),
-        ("long_render", lambda: bench_long_render(conf)),
-        ("osc_kernel", lambda: bench_osc_kernel(conf)),
-        ("mss_mfu", lambda: bench_mss_mfu(conf)),
-        ("multistream", lambda: bench_multistream(conf, crepe_params)),
-    ):
-        _note(f"{name}: compiling + measuring...")
+    def attempt(name, fn, expected):
+        """One guarded run; marks the task done on success.  A task that
+        returns without emitting (e.g. osc_kernel off-TPU) is a deliberate
+        skip and counts as done."""
+        if _ABANDONED and not _drain_abandoned(grace_s=120.0):
+            _note(
+                f"{name}: an abandoned worker is still running; probing the "
+                "link before risking a concurrent device job"
+            )
+            if not _probe_until_alive():
+                _note(f"{name}: SKIPPED this attempt (link down)")
+                return
+            _note(
+                f"{name}: link is back but the old worker never exited; "
+                "timings below may be contaminated (suspect)"
+            )
         try:
-            run_with_timeout(name, fn)
-        except Exception as e:  # one broken metric must not hide the rest
-            failures += 1
+            _run_with_timeout(name, fn, timeout_s)
+        except Exception as e:
             _note(f"{name}: FAILED: {type(e).__name__}: {e}")
         else:
+            done[name] = True
             _note(f"{name}: done")
-    if failures:
+
+    _note("pre-suite tunnel probe...")
+    if not _probe_until_alive():
+        _note("tunnel unresponsive; proceeding anyway (metrics will retry)")
+    for name, fn, expected in tasks:
+        _note(f"{name}: compiling + measuring...")
+        attempt(name, fn, expected)
+
+    # Retry pass: the round-2 wedge resolved itself minutes later, so every
+    # timed-out/failed metric gets one more chance after a fresh probe.
+    _drain_abandoned(grace_s=60.0)
+    for name, fn, expected in tasks:
+        if not done[name] and all(m in RESULTS for m in expected):
+            done[name] = True  # abandoned worker delivered late
+    missing = [t for t in tasks if not done[t[0]]]
+    if missing:
+        _note(f"retry pass over {[t[0] for t in missing]}...")
+        if _probe_until_alive():
+            for name, fn, expected in missing:
+                _note(f"{name}: retrying...")
+                attempt(name, fn, expected)
+        else:
+            _note("tunnel still unresponsive; skipping the retry pass")
+
+    for name, fn, expected in tasks:
+        if not done[name] and all(m in RESULTS for m in expected):
+            done[name] = True
+    n_done = sum(done.values())
+    # One line carrying every measured value: the driver's `parsed` field
+    # keeps only the LAST JSON line of stdout.
+    print(
+        json.dumps(
+            {
+                "metric": "summary",
+                "value": n_done,
+                "unit": f"of {len(tasks)} tasks measured",
+                "vs_baseline": n_done / len(tasks),
+                "values": {m: r["value"] for m, r in RESULTS.items()},
+                "vs": {m: r["vs_baseline"] for m, r in RESULTS.items()},
+            }
+        ),
+        flush=True,
+    )
+    if n_done < len(tasks):
+        _note(f"incomplete: {[n for n, d in done.items() if not d]}")
         sys.exit(1)
 
 

@@ -56,6 +56,53 @@ def osc_speed_of_light_s(b: int, t: int, hop: int, n_h: int, backward=False):
     return sol
 
 
+def crepe_window_macs(capacity: str = "tiny", window: int = 1024) -> int:
+    """MACs for ONE CREPE window through the 6-conv stack + classifier.
+
+    Models models/crepe.py (_layer + crepe_forward): per stage, the padded
+    input length runs through a stride-s conv (c_in * c_out * k * out_len
+    MACs), then maxpool(2) halves the length; the classifier is an
+    (in_features, 360) dense layer.  BN/ReLU/pool elementwise work is
+    bandwidth-trivial next to the convs and is not counted.
+    """
+    from ddsp_tpu.models.crepe import (
+        CAPACITIES,
+        KERNEL_SIZES,
+        PADS,
+        PITCH_BINS,
+        STRIDES,
+    )
+
+    spec = CAPACITIES[capacity]
+    length = window
+    macs = 0
+    for i in range(6):
+        padded = length + PADS[i][0] + PADS[i][1]
+        out_len = (padded - KERNEL_SIZES[i]) // STRIDES[i] + 1
+        macs += (
+            spec["in_channels"][i]
+            * spec["out_channels"][i]
+            * KERNEL_SIZES[i]
+            * out_len
+        )
+        length = out_len // 2
+    macs += spec["in_features"] * PITCH_BINS
+    return macs
+
+
+def encode_flops(b: int, frames: int, conf) -> int:
+    """Total FLOPs of one batched feature extraction (encode path).
+
+    Counts the CREPE conv stack over ``frames`` windows per example plus
+    the loudness STFT (one n_fft x (n_fft/2+1) cos+sin matmul pair per
+    frame, ops/spectral.py).  The 44.1k->16k polyphase resample and the
+    pitch decode are <1% of this and are not counted.
+    """
+    crepe = frames * crepe_window_macs(conf.crepe_capacity, conf.crepe_window)
+    loud = frames * conf.n_fft * (conf.n_fft // 2 + 1) * 2
+    return 2 * b * (crepe + loud)
+
+
 def stft_macs(length: int, ffts, overlap: float) -> int:
     """Total Hann-rDFT MACs for one signal across all MSS scales.
 
