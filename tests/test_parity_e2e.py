@@ -100,6 +100,149 @@ def test_full_decoder_matches_reference(reference_path, snr):
     assert snr(ref, ours) > 40.0  # deterministic chain parity bound
 
 
+def _grad_pairs(grads, dec):
+    """(name, jax grad leaf, torch parameter) triples, mirroring _install.
+
+    ``dense_filter`` is excluded: the noise head is silenced on both sides
+    (bias -40 -> ~1e-7 amplitude), so its gradients are degenerate noise.
+    """
+    ctrl = grads["controller"]
+    pairs = []
+    for name in ["mlp_f0", "mlp_loudness", "mlp_gru"]:
+        t_mlp = getattr(dec.controller, name)
+        for i, layer in enumerate(ctrl[name]["layers"], start=1):
+            seq = getattr(t_mlp, f"mlp_layer{i}")
+            pairs += [
+                (f"{name}.{i}.dense.w", layer["dense"]["weight"], seq[0].weight),
+                (f"{name}.{i}.dense.b", layer["dense"]["bias"], seq[0].bias),
+                (f"{name}.{i}.norm.w", layer["norm"]["weight"], seq[1].weight),
+                (f"{name}.{i}.norm.b", layer["norm"]["bias"], seq[1].bias),
+            ]
+    for li, lp in enumerate(ctrl["gru"]["layers"]):
+        gru = dec.controller.gru
+        pairs += [
+            (f"gru.w_ih_l{li}", lp["w_ih"], getattr(gru, f"weight_ih_l{li}")),
+            (f"gru.w_hh_l{li}", lp["w_hh"], getattr(gru, f"weight_hh_l{li}")),
+            (f"gru.b_ih_l{li}", lp["b_ih"], getattr(gru, f"bias_ih_l{li}")),
+            (f"gru.b_hh_l{li}", lp["b_hh"], getattr(gru, f"bias_hh_l{li}")),
+        ]
+    for name in ["dense_harmonic", "dense_loudness"]:
+        head = getattr(dec.controller, name)
+        pairs += [
+            (f"{name}.w", ctrl[name]["weight"], head.weight),
+            (f"{name}.b", ctrl[name]["bias"], head.bias),
+        ]
+    pairs += [
+        ("reverb.noise", grads["reverb"]["noise"], dec.reverb.noise),
+        ("reverb.decay", grads["reverb"]["decay"], dec.reverb.decay),
+        ("reverb.wet", grads["reverb"]["wet"], dec.reverb.wet),
+    ]
+    return pairs
+
+
+def test_full_decoder_gradients_match_torch_autograd(reference_path, snr):
+    """d(MSS)/d(params) of the whole decoder chain vs torch autograd.
+
+    Round-2 VERDICT Weak #3: forward parity (>40 dB) and Pallas-VJP-vs-XLA
+    equivalence are both self-consistency checks; a shared wrong backward
+    convention (interp edges, Nyquist renorm, phase accumulation) would
+    pass both while training toward a different optimum than the reference
+    (train/train.py:32-37).  Here: identical weights (via _install), same
+    batch, noise branch silenced, and the torch side runs the reference
+    Decoder + an autograd-traced replica of the reference MSSLoss
+    (loss/mss_loss.py:11-33 -- torchaudio is not installed here, so its
+    Spectrogram is expressed via torch.stft with the validated-identical
+    convention, tests/test_spectral.py).  Every parameter's gradient must
+    agree in direction (cosine) and magnitude (relative L2).
+
+    On CPU this exercises the XLA oscillator path; combined with the
+    Pallas-vs-XLA gradient equivalence in tests/test_pallas_oscillator.py
+    the chain Pallas VJP == XLA autodiff == torch autograd pins the
+    hand-written kernels to the reference's training math transitively.
+    """
+    from model.autoencoder.decoder import Decoder
+
+    from ddsp_tpu.losses import mss_loss
+
+    ffts = (512, 256, 128)
+    params = decoder_init(jax.random.PRNGKey(3), CONF)
+    params["controller"]["dense_filter"]["bias"] = (
+        params["controller"]["dense_filter"]["bias"] * 0.0 - 40.0
+    )
+    params["controller"]["dense_filter"]["weight"] = (
+        params["controller"]["dense_filter"]["weight"] * 0.0
+    )
+    dec = Decoder(_torch_conf()).train()
+    _install(params, dec)
+
+    rng = np.random.default_rng(7)
+    t = 40
+    batch = {
+        "f0": rng.uniform(100, 500, (2, t, 1)).astype(np.float32),
+        "normalized_cents": rng.uniform(0, 1, (2, t, 1)).astype(np.float32),
+        "loudness": rng.uniform(0, 1, (2, t, 1)).astype(np.float32),
+    }
+    target = (
+        0.1 * rng.standard_normal((2, t * CONF.hop_length))
+    ).astype(np.float32)
+
+    def loss_fn(p):
+        pred = decoder_apply(p, batch, CONF, jax.random.PRNGKey(1))
+        return mss_loss(pred, jnp.asarray(target), ffts)
+
+    loss_j, grads = jax.value_and_grad(loss_fn)(params)
+
+    def torch_sss(pred_t, true_t, n_fft):
+        # reference SSSLoss via torch.stft (torchaudio Spectrogram
+        # convention: power-2 magnitude, centered reflect pad, Hann)
+        hop = int(n_fft * (1 - 0.75))
+        win = torch.hann_window(n_fft)
+
+        def spec(x):
+            return (
+                torch.stft(
+                    x, n_fft=n_fft, hop_length=hop, window=win, center=True,
+                    pad_mode="reflect", return_complex=True,
+                )
+                .abs()
+                .pow(2)
+            )
+
+        s_pred, s_true = spec(pred_t), spec(true_t)
+        linear = (s_pred - s_true).abs().mean()
+        log = ((s_true + 1e-7).log2() - (s_pred + 1e-7).log2()).abs().mean()
+        return linear + log
+
+    pred_t = dec({k: torch.from_numpy(v) for k, v in batch.items()})
+    true_t = torch.from_numpy(target)
+    loss_t = sum(torch_sss(pred_t, true_t, n) for n in ffts)
+    dec.zero_grad()
+    loss_t.backward()
+
+    assert abs(float(loss_j) - float(loss_t)) / float(loss_t) < 2e-3
+
+    pairs = _grad_pairs(grads, dec)
+    scale = max(
+        float(np.linalg.norm(p.grad.detach().numpy())) for _, _, p in pairs
+    )
+    report = []
+    for name, gj, p in pairs:
+        gj = np.asarray(gj, np.float64).ravel()
+        gt = p.grad.detach().numpy().astype(np.float64).ravel()
+        assert gj.shape == gt.shape, name
+        nt = np.linalg.norm(gt)
+        if nt < 1e-7 * scale:  # degenerate leaf: just require ours tiny too
+            assert np.linalg.norm(gj) < 1e-6 * scale, name
+            continue
+        cos = float(np.dot(gj, gt) / (np.linalg.norm(gj) * nt))
+        rel = float(np.linalg.norm(gj - gt) / nt)
+        report.append((name, cos, rel))
+    worst_cos = min(r[1] for r in report)
+    worst_rel = max(r[2] for r in report)
+    bad = [r for r in report if r[1] < 0.999 or r[2] > 0.05]
+    assert not bad, (worst_cos, worst_rel, bad)
+
+
 def test_reconstruction_snr_after_training():
     """Analysis-by-synthesis smoke: after a short fit on one harmonic tone,
     the reconstruction must land within a few dB of the target's envelope
