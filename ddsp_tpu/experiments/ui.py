@@ -82,7 +82,7 @@ def spectrogram_figure(spec: np.ndarray, sample_rate: int, hop: int):
     return fig
 
 
-def main() -> None:  # pragma: no cover - interactive UI
+def main() -> None:
     if not HAS_STREAMLIT:
         raise RuntimeError(
             "streamlit is not installed; run the CLI instead: "
