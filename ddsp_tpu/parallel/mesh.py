@@ -17,6 +17,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 TIME_AXIS = "time"
+MODEL_AXIS = "model"
 
 
 def make_mesh(
@@ -42,6 +43,27 @@ def make_mesh(
     if needed > len(devices):
         raise ValueError(f"mesh {n_data}x{n_time} needs {needed} devices, have {len(devices)}")
     grid = np.asarray(devices[:needed]).reshape(n_data, n_time)
+    return Mesh(grid, tuple(axis_names))
+
+
+def make_mesh3(
+    n_data: int = 1,
+    n_time: int = 1,
+    n_model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+    axis_names: Sequence[str] = (DATA_AXIS, TIME_AXIS, MODEL_AXIS),
+) -> Mesh:
+    """('data', 'time', 'model') mesh: batch x sample-axis x harmonic-bank
+    sharding composed on one device grid (the full mesh algebra -- DP, SP,
+    and TP collectives each ride their own axis)."""
+    devices = list(devices if devices is not None else jax.devices())
+    needed = n_data * n_time * n_model
+    if needed > len(devices):
+        raise ValueError(
+            f"mesh {n_data}x{n_time}x{n_model} needs {needed} devices, "
+            f"have {len(devices)}"
+        )
+    grid = np.asarray(devices[:needed]).reshape(n_data, n_time, n_model)
     return Mesh(grid, tuple(axis_names))
 
 

@@ -124,6 +124,7 @@ def render_controls_local(
     data_axis: Optional[str] = None,
     b_global: Optional[int] = None,
     impl: Optional[str] = None,
+    model_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Per-shard synthesis body: local frames -> local audio samples.
 
@@ -142,6 +143,12 @@ def render_controls_local(
     None resolves from ``conf.osc_impl`` -- on TPU the fused Pallas kernel
     runs per shard, so time-sharded scale-out keeps the single-chip per-chip
     rate instead of falling back to the einsum path.
+
+    When the harmonic bank is *also* sharded (over ``model_axis``), ``amps``
+    is this rank's contiguous harmonic slice: the Nyquist renormalization
+    denominator and the partial audio are reduced over ``model_axis`` with
+    one ``psum`` each (the parallel/tp.py convention; f0 is replicated over
+    'model', so every model rank computes the same phase carry).
     """
     from ddsp_tpu.models.synths import osc_impl_name
 
@@ -162,16 +169,41 @@ def render_controls_local(
     delta_total = _local_delta_total(f0_pad, conf.hop_length, conf.sample_rate)
     phase0 = _phase_carry(delta_total, TIME_AXIS)
 
-    harm, _ = render_padded(
-        f0_pad,
-        amps_pad,
-        loud_pad,
-        sample_rate=conf.sample_rate,
-        hop=conf.hop_length,
-        initial_phase=phase0,
-        frame_chunk=frame_chunk,
-        impl=impl,
-    )
+    if model_axis is None:
+        harm, _ = render_padded(
+            f0_pad,
+            amps_pad,
+            loud_pad,
+            sample_rate=conf.sample_rate,
+            hop=conf.hop_length,
+            initial_phase=phase0,
+            frame_chunk=frame_chunk,
+            impl=impl,
+        )
+    else:
+        from ddsp_tpu.ops.oscillator import nyquist_normalized_amps
+
+        h_local = amps.shape[-1]
+        h0 = jax.lax.axis_index(model_axis) * h_local
+        masked = nyquist_normalized_amps(
+            f0_pad, amps_pad, conf.sample_rate, h_start=h0, normalize=False
+        )
+        denom = jax.lax.psum(
+            jnp.sum(masked, axis=-1, keepdims=True), model_axis
+        )
+        partial, _ = render_padded(
+            f0_pad,
+            masked / denom,
+            loud_pad,
+            sample_rate=conf.sample_rate,
+            hop=conf.hop_length,
+            initial_phase=phase0,
+            h_start=h0,
+            normalize_amps=False,
+            frame_chunk=frame_chunk,
+            impl=impl,
+        )
+        harm = jax.lax.psum(partial, model_axis)
 
     # 2. frame-local noise with global frame offsets (bit-stable)
     if data_axis is None:

@@ -38,7 +38,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ddsp_tpu.config import Config
 from ddsp_tpu.models.controller import controller_apply
 from ddsp_tpu.ops.spectral import _spectrogram_hopblocked
-from ddsp_tpu.parallel.mesh import DATA_AXIS, TIME_AXIS
+from ddsp_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, TIME_AXIS
 from ddsp_tpu.parallel.render import render_controls_local
 from ddsp_tpu.training.trainer import make_train_step
 
@@ -115,9 +115,16 @@ def make_sp_loss(conf: Config, mesh: Mesh, frame_chunk: Optional[int] = None):
     synthesis and the MSS loss sharded over ('data', 'time'): batch rows
     over 'data', frames/samples over 'time'.  Drop-in for
     ``make_train_step(conf, loss=...)``.
+
+    When the mesh also has a 'model' axis (``mesh.make_mesh3``), the
+    harmonic bank is additionally sharded over it (the parallel/tp.py
+    psum'd-renorm convention), composing the full DP x SP x TP algebra in
+    one train step.
     """
     n_time = mesh.shape[TIME_AXIS]
     n_data = mesh.shape[DATA_AXIS]
+    n_model = dict(mesh.shape).get(MODEL_AXIS, 0)
+    has_model = n_model > 0
 
     def sp_loss(params, batch: Dict[str, jnp.ndarray], conf_: Config, noise_key):
         del conf_  # bound at construction; kept for signature parity
@@ -140,6 +147,16 @@ def make_sp_loss(conf: Config, mesh: Mesh, frame_chunk: Optional[int] = None):
         constrain = lambda v: jax.lax.with_sharding_constraint(  # noqa: E731
             v, NamedSharding(mesh, ctrl_spec)
         )
+        c = controls["c"]
+        if has_model:
+            pad = (-c.shape[-1]) % n_model  # zero-amp harmonics are inert
+            if pad:
+                c = jnp.pad(c, ((0, 0), (0, 0), (0, pad)))
+            c_spec = P(DATA_AXIS, TIME_AXIS, MODEL_AXIS)
+            c = jax.lax.with_sharding_constraint(c, NamedSharding(mesh, c_spec))
+        else:
+            c_spec = ctrl_spec
+            c = constrain(c)
 
         @functools.partial(
             jax.shard_map,
@@ -147,7 +164,7 @@ def make_sp_loss(conf: Config, mesh: Mesh, frame_chunk: Optional[int] = None):
             in_specs=(
                 P(),
                 ctrl_spec,
-                ctrl_spec,
+                c_spec,
                 ctrl_spec,
                 ctrl_spec,
                 P(DATA_AXIS, TIME_AXIS),
@@ -160,6 +177,7 @@ def make_sp_loss(conf: Config, mesh: Mesh, frame_chunk: Optional[int] = None):
             pred = render_controls_local(
                 rev_params, f0, amps, loud, noise_mags, key, conf, t_local,
                 frame_chunk, data_axis=DATA_AXIS, b_global=b,
+                model_axis=MODEL_AXIS if has_model else None,
             )
             scales = {}
             for n_fft in conf.mss_ffts:
@@ -176,7 +194,7 @@ def make_sp_loss(conf: Config, mesh: Mesh, frame_chunk: Optional[int] = None):
         scales = synth_and_loss(
             params["reverb"],
             constrain(controls["f0"]),
-            constrain(controls["c"]),
+            c,
             constrain(controls["a"]),
             constrain(controls["H"]),
             batch["audio"],
@@ -196,6 +214,10 @@ def make_sp_train_step(conf: Config, mesh: Mesh, frame_chunk: Optional[int] = No
     gradients match the single-device step to float32 accuracy
     (tests/test_parallel.py), so SP changes where activations live, not
     what the optimizer sees.
+
+    With a 3-axis ('data', 'time', 'model') mesh this becomes the full
+    DP x SP x TP step: the harmonic bank additionally shards over 'model'
+    (see make_sp_loss); still equal to the single-device step.
     """
     return jax.jit(
         make_train_step(conf, loss=make_sp_loss(conf, mesh, frame_chunk)),

@@ -40,9 +40,7 @@ from ddsp_tpu.models.synths import reverb_apply
 from ddsp_tpu.ops.fir import convolve_designed_fir, fft_convolve, frame_noise
 from ddsp_tpu.ops.interp import edge_pad_frames as _edge_pad
 from ddsp_tpu.ops.oscillator import nyquist_normalized_amps, render_padded
-from ddsp_tpu.parallel.mesh import DATA_AXIS, make_mesh
-
-MODEL_AXIS = "model"
+from ddsp_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, make_mesh
 
 
 def make_dp_tp_mesh(

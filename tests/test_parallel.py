@@ -300,6 +300,57 @@ def test_sp_train_step_matches_single():
         np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=2e-3, atol=2e-5)
 
 
+def test_sp_tp_3axis_train_step_matches_single():
+    """DP x SP x TP (2 data x 2 time x 2 model) train step == single-device
+    step: the 3-axis compose -- batch rows over 'data', frames/samples over
+    'time', the harmonic bank over 'model' -- must change nothing the
+    optimizer sees (round-2 VERDICT next-step #10; previously only pairwise
+    meshes were certified)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ddsp_tpu.parallel.mesh import make_mesh3
+
+    mesh = make_mesh3(n_data=2, n_time=2, n_model=2)
+    b, t = 4, 16  # local time shard = 8 frames * 64 = 512 >= n_fft//2+1
+    rng = np.random.default_rng(11)
+    batch = {
+        "f0": rng.uniform(100, 400, (b, t, 1)).astype(np.float32),
+        "normalized_cents": rng.uniform(0, 1, (b, t, 1)).astype(np.float32),
+        "loudness": rng.uniform(0, 1, (b, t, 1)).astype(np.float32),
+        "audio": (0.1 * rng.standard_normal((b, t * CONF.hop_length))).astype(
+            np.float32
+        ),
+    }
+    state0 = init_state(jax.random.PRNGKey(0), CONF)
+    local_state, local_metrics = jax.jit(make_train_step(CONF))(state0, batch)
+
+    step3 = make_sp_train_step(CONF, mesh)
+    st3 = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())),
+        init_state(jax.random.PRNGKey(0), CONF),
+    )
+    b3 = {
+        k: jax.device_put(
+            v,
+            NamedSharding(mesh, P("data", "time") if k == "audio" else P("data")),
+        )
+        for k, v in batch.items()
+    }
+    st3, metrics3 = step3(st3, b3)
+
+    assert abs(float(local_metrics["loss"]) - float(metrics3["loss"])) < 1e-2
+    for n_fft in CONF.mss_ffts:
+        k = f"mss_{n_fft}"
+        assert abs(float(local_metrics[k]) - float(metrics3[k])) < 1e-2
+    leaves_l = jax.tree_util.tree_leaves(local_state.params)
+    leaves_3 = jax.tree_util.tree_leaves(st3.params)
+    for a, c in zip(leaves_l, leaves_3):
+        # atol matches the DP x TP test: the psum'd harmonic sum reorders
+        # f32 additions and Adam normalizes grads, so near-zero-grad params
+        # can move by up to ~lr on either side.
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=2e-3, atol=3e-3)
+
+
 def test_sp_loss_rejects_short_shards():
     """A time shard shorter than n_fft//2+1 samples cannot host the STFT
     halo; the loss must fail loudly, not silently mis-frame."""
