@@ -15,8 +15,19 @@ a (harmonic, sample) sine bank is generated 8 harmonics per sublane tile by
 one exact split-precision seed plus a ``e^{i 2 pi 8 x}`` rotation, and the
 harmonic sums become large MXU contractions (forward: one; backward: three,
 emitting d(phase), d(amp windows), d(loudness windows) in one pass).  No
-harmonic-resolved tensor ever touches HBM in either direction.  A VPU-only
-Chebyshev-recurrence forward (impl='cheb') is kept for comparison.
+harmonic-resolved tensor ever touches HBM in either direction.
+
+Production default is the round-3 'banked2' pair: the three interpolation
+windows amps_l/m/r are shifted views of ONE padded amp array, so the
+contractions use the ft+2 distinct frame rows instead of a 3ft stack
+(2.4x fewer MACs at ft=8; window mixing becomes static row slices), and
+the forward runs 16-frame blocks (halved per-block overhead; measured
+1.10 ms vs the round-2 kernel's 1.48 at production shape).  Kept for
+comparison/sweeps: the round-2 'banked' pair, a VPU-only
+Chebyshev-recurrence forward (impl='cheb'), a tile-level Chebyshev bank
+fill (fill='cheb8' -- measured slower: the fill is issue/store-bound, not
+op-count-bound), and K-chunked fill/contract interleave (k_chunk --
+measured slower; Mosaic does not overlap the stages).
 
 Split-precision phase trick shared with ops/oscillator.harmonic_sines:
 phi = hi + lo with hi on a 1/4096 grid -> h*hi exact in f32.
@@ -84,6 +95,165 @@ def _fill_sine_banks_cat(sin_ref, cos_ref, x, hb, h0=0.0):
     s_t, c_t = exact(k_row + 1.0)
     for g in range(groups):
         if g > 0:
+            s_t, c_t = s_t * c8 + c_t * s8, c_t * c8 - s_t * s8
+        sin_ref[8 * g : 8 * (g + 1), :] = s_t.astype(bank_dtype)
+        if cos_ref is not None:
+            cos_ref[8 * g : 8 * (g + 1), :] = c_t.astype(bank_dtype)
+
+
+def _fill_sine_banks_cheb8(
+    sin_ref, cos_ref, x, hb, h0=0.0, resync_tiles=8, g0=0, g1=None
+):
+    """Fill (hb, L) banks via the TILE-level three-term recurrence
+    ``sin((h+8)x) = 2 cos(8x) sin(hx) - sin((h-8)x)`` (and the matching
+    cosine identity): ~2 VPU ops per element against the rotation chain's 6
+    (_fill_sine_banks_cat).  The recurrence's roundoff is amplified by
+    Chebyshev growth (up to ~k ulp after k tiles near cos(8x) = +-1), so
+    tiles are re-seeded with the exact split-precision evaluation every
+    ``resync_tiles`` tiles (two consecutive seed tiles restart the
+    recurrence).  ``g0``/``g1`` bound the tile range for chunked fills; the
+    chunk start is always re-seeded.
+    """
+    length = x.shape[-1]
+    hi_p = jnp.floor(x * QUANT) * (1.0 / QUANT)
+    lo_p = x - hi_p
+    k_row = jax.lax.broadcasted_iota(jnp.int32, (8, length), 0).astype(
+        jnp.float32
+    ) + jnp.asarray(h0, jnp.float32)
+
+    def exact(hv):
+        coarse = hi_p * hv
+        coarse = coarse - jnp.floor(coarse)
+        frac = coarse + lo_p * hv
+        frac = frac - jnp.floor(frac)
+        a = TWO_PI * frac
+        return jnp.sin(a), jnp.cos(a)
+
+    _, c8 = exact(jnp.full((1, length), 8.0))
+    two_c8 = 2.0 * c8
+
+    bank_dtype = sin_ref.dtype
+    groups = (hb // 8) if g1 is None else g1
+    s_pp = s_p = c_pp = c_p = None
+    for g in range(g0, groups):
+        if (g - g0) % resync_tiles < 2:
+            s_t, c_t = exact(k_row + 1.0 + 8.0 * g)
+        else:
+            s_t = two_c8 * s_p - s_pp
+            if cos_ref is not None:
+                c_t = two_c8 * c_p - c_pp
+        sin_ref[8 * g : 8 * (g + 1), :] = s_t.astype(bank_dtype)
+        s_pp, s_p = s_p, s_t
+        if cos_ref is not None:
+            cos_ref[8 * g : 8 * (g + 1), :] = c_t.astype(bank_dtype)
+            c_pp, c_p = c_p, c_t
+
+
+def _kernel_banked2(
+    phase_ref,  # (1, FT, hop)
+    amps_win_ref,  # (1, 1, FT+2, HP): rows blk*ft .. blk*ft+ft+1 of amps_pad
+    loud_ref,  # (1, FT, 3*LANE)
+    w_ref,  # (hop, 4)
+    w_big_ref,  # (8, FT*hop)
+    h0_ref,  # (1, 1) SMEM
+    out_ref,  # (1, FT, hop)
+    sin_ref,  # VMEM scratch (HB, FT*hop)
+    *,
+    ft: int,
+    hop: int,
+    hb: int,
+    n_h: int,
+    fill: str,
+    resync_tiles: int,
+    k_chunk,
+    precision=jax.lax.Precision.HIGHEST,
+):
+    """Window-row forward: ONE (ft+2, hb) x (hb, L) MXU contraction.
+
+    The 'banked' kernel stacks the three interpolation windows on the M
+    axis (3ft rows) -- but amps_l/m/r are SHIFTED VIEWS of the same padded
+    amp array, so the ft+2 distinct frame rows suffice: every window's
+    per-frame harmonic sum is a row slice of the (ft+2, L) product.  MAC
+    count drops 3ft/(ft+2) (2.4x at ft=8); the window stack for the
+    existing _mix_collapse is three static row slices.
+
+    ``fill``: 'rot' (_fill_sine_banks_cat) or 'cheb8'
+    (_fill_sine_banks_cheb8).  ``k_chunk``: when set, the bank is filled
+    and contracted in K-chunks of that many harmonics, giving Mosaic a
+    chance to overlap chunk g+1's VPU fill with chunk g's MXU contraction.
+    """
+    length = ft * hop
+    phase = phase_ref[0]
+    x = phase.reshape(1, length)
+    h0 = h0_ref[0, 0]
+    aw = amps_win_ref[0, 0, :, :hb]  # (ft+2, hb)
+
+    def fill_rows(g0, g1):
+        if fill == "rot":
+            _fill_sine_banks_cat_range(sin_ref, None, x, h0, g0, g1)
+        else:
+            _fill_sine_banks_cheb8(
+                sin_ref, None, x, hb, h0, resync_tiles, g0, g1
+            )
+
+    bank_dtype = sin_ref.dtype
+    groups = hb // 8
+    if k_chunk is None:
+        fill_rows(0, groups)
+        h2 = jax.lax.dot_general(
+            aw.astype(bank_dtype), sin_ref[:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )  # (ft+2, L)
+    else:
+        gc = max(1, k_chunk // 8)  # tiles per chunk
+        h2 = jnp.zeros((ft + 2, length), jnp.float32)
+        for g0 in range(0, groups, gc):
+            g1 = min(groups, g0 + gc)
+            fill_rows(g0, g1)
+            h2 = h2 + jax.lax.dot_general(
+                aw[:, 8 * g0 : 8 * g1].astype(bank_dtype),
+                sin_ref[8 * g0 : 8 * g1, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+    m3 = jnp.concatenate([h2[0:ft], h2[1 : ft + 1], h2[2 : ft + 2]], axis=0)
+    diag = _block_diag_mask(ft, hop)
+    harm = _mix_collapse(w_big_ref, diag, m3, ft, hop)
+
+    w = w_ref[:, :3]
+    loud = (
+        w[:, 0].reshape(1, hop) * loud_ref[0, :, 0].reshape(ft, 1)
+        + w[:, 1].reshape(1, hop) * loud_ref[0, :, LANE].reshape(ft, 1)
+        + w[:, 2].reshape(1, hop) * loud_ref[0, :, 2 * LANE].reshape(ft, 1)
+    )
+    out_ref[0] = harm * loud
+
+
+def _fill_sine_banks_cat_range(sin_ref, cos_ref, x, h0, g0, g1):
+    """Rotation-chain fill restricted to tiles [g0, g1) (chunked variant of
+    _fill_sine_banks_cat: seed exactly at g0, rotate within the chunk)."""
+    length = x.shape[-1]
+    hi_p = jnp.floor(x * QUANT) * (1.0 / QUANT)
+    lo_p = x - hi_p
+    k_row = jax.lax.broadcasted_iota(jnp.int32, (8, length), 0).astype(
+        jnp.float32
+    ) + jnp.asarray(h0, jnp.float32)
+
+    def exact(hv):
+        coarse = hi_p * hv
+        coarse = coarse - jnp.floor(coarse)
+        frac = coarse + lo_p * hv
+        frac = frac - jnp.floor(frac)
+        a = TWO_PI * frac
+        return jnp.sin(a), jnp.cos(a)
+
+    s8, c8 = exact(jnp.full((1, length), 8.0))
+    bank_dtype = sin_ref.dtype
+    s_t, c_t = exact(k_row + 1.0 + 8.0 * g0)
+    for g in range(g0, g1):
+        if g > g0:
             s_t, c_t = s_t * c8 + c_t * s8, c_t * c8 - s_t * s8
         sin_ref[8 * g : 8 * (g + 1), :] = s_t.astype(bank_dtype)
         if cos_ref is not None:
@@ -288,10 +458,20 @@ def _pallas_forward(
     resync: int = 32,
     impl: str = "banked",
     h_start=None,  # harmonic-number offset (int or traced scalar), TP shards
+    fill: str = "cheb8",  # banked2 bank fill: 'rot' | 'cheb8'
+    resync_tiles: int = 8,  # banked2 cheb8 re-seed cadence (tiles)
+    k_chunk=None,  # banked2: fill/contract interleave chunk (harmonics)
+    precision=jax.lax.Precision.HIGHEST,  # banked2 contraction passes
+    bank_dtype: str = "float32",  # banked2 bank storage/contraction dtype
 ) -> jnp.ndarray:
     b, t, hop = phase1.shape
     h = amps_pad.shape[-1]
     hp = _round_up(h, LANE)
+    if frames_per_block is None:
+        # 16-frame blocks halve the per-block overheads at production shape
+        # (measured 1.10 vs 1.41 ms, scripts/osc_v2_sweep.py); short renders
+        # (streaming hops) keep 8 to avoid padding waste.
+        frames_per_block = 16 if t >= 16 else 8
     # TPU tiling: the block's sublane dim (frames) must be a multiple of 8.
     ft = max(8, _round_up(frames_per_block, 8))
     t_pad = _round_up(t, ft)
@@ -359,6 +539,37 @@ def _pallas_forward(
             scratch_shapes=[pltpu.VMEM((hb, ft * hop), jnp.float32)],
             **common,
         )(phase1, amps_l, amps_m, amps_r, loud_p, w, w_big, h0)
+    elif impl == "banked2":
+        hb = _round_up(h, 8)
+        nblk = t // ft
+        win_idx = np.arange(nblk)[:, None] * ft + np.arange(ft + 2)[None, :]
+        amps_win = amps_p[:, win_idx]  # (B, nblk, ft+2, HP) overlapping rows
+        w_big = jnp.asarray(
+            np.pad(
+                np.tile(np.asarray(hop_weights(hop)).T, (1, ft)), ((0, 5), (0, 0))
+            ).astype(np.float32)
+        )
+        kernel = functools.partial(
+            _kernel_banked2, ft=ft, hop=hop, hb=hb, n_h=h,
+            fill=fill, resync_tiles=resync_tiles, k_chunk=k_chunk,
+            precision=precision,
+        )
+        out = pl.pallas_call(
+            kernel,
+            in_specs=[
+                base_specs[0],  # phase
+                pl.BlockSpec(
+                    (1, 1, ft + 2, hp), lambda i, j: (i, j, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                base_specs[4],  # loudness triplets
+                base_specs[5],  # w
+                pl.BlockSpec((8, ft * hop), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            ],
+            scratch_shapes=[pltpu.VMEM((hb, ft * hop), jnp.dtype(bank_dtype))],
+            **common,
+        )(phase1, amps_win, loud_p, w, w_big, h0)
     else:
         if h_start is not None:
             raise NotImplementedError(
@@ -499,6 +710,112 @@ def _kernel_cheb_bwd(
     )  # (ft, 3)
 
 
+def _kernel_banked2_bwd(
+    g_ref,  # (1, FT, hop) dL/daudio
+    phase_ref,  # (1, FT, hop)
+    amps_win_ref,  # (1, 1, FT+2, HP)
+    loud_ref,  # (1, FT, 3*LANE)
+    w_ref,  # (hop, 4)
+    w_big_ref,  # (8, FT*hop)
+    h0_ref,  # (1, 1) SMEM
+    dphase_ref,  # out (1, FT, hop)
+    da_win_ref,  # out (1, 1, FT+2, HP): grads of the window's amp rows
+    dloud_ref,  # out (1, FT, 3)
+    sin_ref,  # VMEM scratch (HB, FT*hop)
+    cos_ref,  # VMEM scratch (HB, FT*hop)
+    *,
+    ft: int,
+    hop: int,
+    hp: int,
+    hb: int,
+    n_h: int,
+    fill: str,
+    resync_tiles: int,
+):
+    """Window-row backward: the three big contractions of _kernel_cheb_bwd
+    with (ft+2)-row operands instead of 3ft (2.7x fewer MACs at ft=16).
+
+    d a_win  = qw2 @ sin^T, where qw2's row r sums the window-k embeds of
+    ql*w_k at frame r-k (each embed is block-diagonal, so the sum is three
+    sublane-shifted concatenations); amp gradients leave per overlapping
+    window and are overlap-added outside the kernel.  d(phase)/d(loud)
+    reuse the forward's (ft+2, L) products via row slices.
+    """
+    length = ft * hop
+    phase = phase_ref[0]
+    x = phase.reshape(1, length)
+    h0 = h0_ref[0, 0]
+    if fill == "rot":
+        _fill_sine_banks_cat_range(sin_ref, cos_ref, x, h0, 0, hb // 8)
+    else:
+        _fill_sine_banks_cheb8(sin_ref, cos_ref, x, hb, h0, resync_tiles)
+
+    w = w_ref[:, :3]
+    wl = w[:, 0].reshape(1, hop)
+    wm = w[:, 1].reshape(1, hop)
+    wr = w[:, 2].reshape(1, hop)
+    loud_up = (
+        wl * loud_ref[0, :, 0].reshape(ft, 1)
+        + wm * loud_ref[0, :, LANE].reshape(ft, 1)
+        + wr * loud_ref[0, :, 2 * LANE].reshape(ft, 1)
+    )
+    g = g_ref[0]
+    ql = g * loud_up  # (ft, hop)
+    diag = _block_diag_mask(ft, hop)
+
+    def embed(m):
+        flat = m.reshape(1, length)
+        return jnp.where(diag, jnp.broadcast_to(flat, (ft, length)), 0.0)
+
+    bank_dtype = sin_ref.dtype
+    zrow = jnp.zeros((1, length), jnp.float32)
+    z2 = jnp.zeros((2, length), jnp.float32)
+    qw2 = (
+        jnp.concatenate([embed(ql * wl), z2], axis=0)
+        + jnp.concatenate([zrow, embed(ql * wm), zrow], axis=0)
+        + jnp.concatenate([z2, embed(ql * wr)], axis=0)
+    ).astype(bank_dtype)  # (ft+2, L)
+    sin_bank = sin_ref[:, :]
+    cos_bank = cos_ref[:, :]
+    da2 = jax.lax.dot_general(
+        qw2, sin_bank, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (ft+2, hb)
+    da_win_ref[0, 0, :, :hb] = da2
+    if hb < hp:
+        da_win_ref[0, 0, :, hb:] = jnp.zeros((ft + 2, hp - hb), jnp.float32)
+
+    a_win = amps_win_ref[0, 0, :, :hb].astype(bank_dtype)  # (ft+2, hb)
+    h2 = jax.lax.dot_general(
+        a_win, sin_bank, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (ft+2, L)
+    h_row = TWO_PI * (
+        jax.lax.broadcasted_iota(jnp.int32, (1, hb), 1).astype(jnp.float32)
+        + 1.0
+        + h0
+    )
+    a_scaled = (a_win.astype(jnp.float32) * h_row).astype(bank_dtype)
+    p2 = jax.lax.dot_general(
+        a_scaled, cos_bank, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m3h = jnp.concatenate([h2[0:ft], h2[1 : ft + 1], h2[2 : ft + 2]], axis=0)
+    m3p = jnp.concatenate([p2[0:ft], p2[1 : ft + 1], p2[2 : ft + 2]], axis=0)
+    harm = _mix_collapse(w_big_ref, diag, m3h, ft, hop)
+    dphi = _mix_collapse(w_big_ref, diag, m3p, ft, hop)
+    dphase_ref[0] = ql * dphi
+    gh = g * harm
+    dloud_ref[0] = jnp.concatenate(
+        [
+            jnp.sum(gh * wl, axis=1, keepdims=True),
+            jnp.sum(gh * wm, axis=1, keepdims=True),
+            jnp.sum(gh * wr, axis=1, keepdims=True),
+        ],
+        axis=1,
+    )  # (ft, 3)
+
+
 def _pallas_backward(
     phase1: jnp.ndarray,
     amps_pad: jnp.ndarray,
@@ -507,10 +824,18 @@ def _pallas_backward(
     frames_per_block: int,
     bank_dtype: str = "float32",
     h_start=None,
+    impl: str = "banked",
+    fill: str = "rot",
+    resync_tiles: int = 8,
 ):
     b, t, hop = phase1.shape
     h = amps_pad.shape[-1]
     hp = _round_up(h, LANE)
+    if frames_per_block is None:
+        # Backward carries TWO banks (sin + cos): 16-frame blocks put 12 MB
+        # of bank scratch against the 16 MB VMEM budget, so default to 8
+        # until the larger block is measured to fit and win.
+        frames_per_block = 8
     ft = max(8, _round_up(frames_per_block, 8))
     t_pad = _round_up(t, ft)
     g3 = g.reshape(b, t, hop)
@@ -540,6 +865,64 @@ def _pallas_backward(
     grid = (b, t // ft)
     spec_hop = pl.BlockSpec((1, ft, hop), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
     spec_amp = pl.BlockSpec((1, ft, hp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+
+    if impl == "banked2":
+        nblk = t // ft
+        win_idx = np.arange(nblk)[:, None] * ft + np.arange(ft + 2)[None, :]
+        amps_win = amps_p[:, win_idx]  # (B, nblk, ft+2, HP)
+        kernel = functools.partial(
+            _kernel_banked2_bwd, ft=ft, hop=hop, hp=hp, hb=hb, n_h=h,
+            fill=fill, resync_tiles=resync_tiles,
+        )
+        win_spec = pl.BlockSpec(
+            (1, 1, ft + 2, hp), lambda i, j: (i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        dphase, da_win, dloud = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((b, t, hop), jnp.float32),
+                jax.ShapeDtypeStruct((b, nblk, ft + 2, hp), jnp.float32),
+                jax.ShapeDtypeStruct((b, t, 3), jnp.float32),
+            ),
+            grid=grid,
+            in_specs=[
+                spec_hop,  # g
+                spec_hop,  # phase
+                win_spec,
+                pl.BlockSpec((1, ft, 3 * LANE), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((hop, 4), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, ft * hop), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            ],
+            out_specs=(
+                spec_hop,
+                win_spec,
+                pl.BlockSpec((1, ft, 3), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((hb, ft * hop), jnp.dtype(bank_dtype)),
+                pltpu.VMEM((hb, ft * hop), jnp.dtype(bank_dtype)),
+            ],
+        )(g3, phase1, amps_win, loud_p, w, w_big, h0)
+
+        # Overlap-add the per-window amp-row gradients back onto the padded
+        # frame axis: window blk's row r maps to padded frame blk*ft + r.
+        main = da_win[:, :, :ft].reshape(b, t, hp)
+        dap = jnp.pad(main, ((0, 0), (0, 2), (0, 0)))
+        pos = np.arange(nblk) * ft + ft
+        dap = dap.at[:, pos].add(da_win[:, :, ft])
+        dap = dap.at[:, pos + 1].add(da_win[:, :, ft + 1])
+        d_amps_pad = dap[:, : t_out + 2, :h]
+        dphase = dphase[:, :t_out]
+        dloud = dloud[:, :t_out]
+        d_loud_pad = (
+            jnp.pad(dloud[..., 0], ((0, 0), (0, 2)))
+            + jnp.pad(dloud[..., 1], ((0, 0), (1, 1)))
+            + jnp.pad(dloud[..., 2], ((0, 0), (2, 0)))
+        )
+        return dphase, d_amps_pad, d_loud_pad
+
     kernel = functools.partial(
         _kernel_cheb_bwd, ft=ft, hop=hop, hp=hp, hb=hb, n_h=h
     )
@@ -596,21 +979,27 @@ def _pallas_backward(
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _render_h(phase1, amps_pad, loud_pad, h0, frames_per_block):
     return _pallas_forward(
-        phase1, amps_pad, loud_pad, frames_per_block, h_start=h0
+        phase1, amps_pad, loud_pad, frames_per_block,
+        impl="banked2", fill="rot", h_start=h0,
     )
 
 
 def _fwd(phase1, amps_pad, loud_pad, h0, frames_per_block):
     out = _pallas_forward(
-        phase1, amps_pad, loud_pad, frames_per_block, h_start=h0
+        phase1, amps_pad, loud_pad, frames_per_block,
+        impl="banked2", fill="rot", h_start=h0,
     )
     return out, (phase1, amps_pad, loud_pad, h0)
 
 
 def _bwd(frames_per_block, residuals, g):
     phase1, amps_pad, loud_pad, h0 = residuals
+    # The backward's block decomposition is independent of the forward's:
+    # with an explicit caller block size both sides honor it, with the
+    # None default each resolves its own best size.
     dphase, damps, dloud = _pallas_backward(
-        phase1, amps_pad, loud_pad, g, frames_per_block, h_start=h0
+        phase1, amps_pad, loud_pad, g, frames_per_block,
+        impl="banked2", fill="rot", h_start=h0,
     )
     return dphase, damps, dloud, jnp.zeros_like(h0)
 
@@ -622,7 +1011,7 @@ def pallas_render_from_phase(
     phase1: jnp.ndarray,
     amps_pad: jnp.ndarray,
     loud_pad: jnp.ndarray,
-    frames_per_block: int = 4,
+    frames_per_block=None,
     h_start=None,
 ) -> jnp.ndarray:
     """(B,T,hop) phase + (B,T+2,H) amps + (B,T+2) loudness -> (B,T*hop) audio.
@@ -630,6 +1019,9 @@ def pallas_render_from_phase(
     ``h_start``: harmonic-number offset of this bank slice (int or traced
     scalar, e.g. ``axis_index * shard`` under tensor parallelism) --
     ``amps_pad[..., i]`` drives harmonic ``h_start + i + 1``.
+
+    ``frames_per_block=None`` picks the measured-best block size per
+    direction (forward 16 frames at production shape, backward 8).
     """
     h0 = jnp.asarray(0.0 if h_start is None else h_start, jnp.float32)
     return _render_h(phase1, amps_pad, loud_pad, h0, frames_per_block)
@@ -643,7 +1035,7 @@ def oscillator_bank_pallas(
     sample_rate: int,
     hop: int,
     initial_phase=None,
-    frames_per_block: int = 4,
+    frames_per_block=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in replacement for ops.oscillator.oscillator_bank using the
     fused kernel for the audio-rate stage (phases stay in XLA: frame-rate

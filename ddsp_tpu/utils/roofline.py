@@ -20,7 +20,8 @@ MXU_F32_HIGHEST = MXU_BF16 / 6  # 6 bf16 passes per true-f32 matmul
 MXU_F32_DEFAULT = MXU_BF16 / 3  # 3 bf16 passes (bf16x3)
 VPU_OPS = 8 * 128 * 4 * 0.94e9  # ~3.85e12 elementwise ops/s
 
-OSC_FRAMES_PER_BLOCK = 4  # pallas_render_from_phase default
+OSC_FWD_FRAMES_PER_BLOCK = 16  # banked2 forward default (measured best)
+OSC_BWD_FRAMES_PER_BLOCK = 8  # backward default (two banks vs 16 MB VMEM)
 
 
 def _round_up(n: int, m: int) -> int:
@@ -31,20 +32,38 @@ def osc_counts(b: int, t: int, hop: int, n_h: int):
     """(fill_elements, fwd_contraction_MACs, bwd_contraction_MACs) for a
     production render through the fused Pallas oscillator.
 
-    Models ops/pallas/oscillator.py: per (ft)-frame block the kernel fills
-    an (HB, ft*hop) sine bank (HB = harmonics padded to a sublane multiple)
-    with the ~6-VPU-op/element rotation chain, then runs ONE
-    (3ft, HB) x (HB, ft*hop) MXU contraction forward (_kernel_banked) and
-    THREE of that class backward (_kernel_cheb_bwd, which also fills a
-    cosine bank: ~8 ops/element for the joint fill).
+    Models the round-3 'banked2' kernels (ops/pallas/oscillator.py): per
+    ft-frame block the kernel fills an (HB, ft*hop) sine bank (HB =
+    harmonics padded to a sublane multiple) with the ~6-VPU-op/element
+    rotation chain, then runs ONE (ft+2, HB) x (HB, ft*hop) MXU
+    contraction forward (_kernel_banked2 -- the ft+2 distinct frame rows
+    replace round-2's 3ft redundant window stack) and THREE of that class
+    backward (_kernel_banked2_bwd, which also fills a cosine bank: ~8
+    ops/element for the joint fill).  T is padded to the block size, as
+    the kernel pads it.
+
+    Measured caveat (docs/PERFORMANCE.md round-3 update): the VPU fill
+    term assumes all 4 ALU slots issue the rotation chain back-to-back;
+    on the chip the serial tile dependency plus bank stores leave the
+    fill ~2x above that ideal, which is where the remaining gap to this
+    bound lives (contraction passes and bank bytes were measured to be
+    minor: DEFAULT-precision and bf16-bank variants save < 10%).
     """
-    ft = OSC_FRAMES_PER_BLOCK
     hb = _round_up(n_h, 8)
-    blocks = b * (t // ft)
-    length = ft * hop
-    fill = blocks * hb * length
-    macs_per_contraction = blocks * (3 * ft) * hb * length
-    return fill, macs_per_contraction, 3 * macs_per_contraction
+    fwd_ft = OSC_FWD_FRAMES_PER_BLOCK
+    bwd_ft = OSC_BWD_FRAMES_PER_BLOCK
+
+    def counts(ft):
+        t_pad = _round_up(t, ft)
+        blocks = b * (t_pad // ft)
+        length = ft * hop
+        fill = blocks * hb * length
+        macs = blocks * (ft + 2) * hb * length
+        return fill, macs
+
+    fill_fwd, fwd_macs = counts(fwd_ft)
+    fill_bwd, bwd_macs = counts(bwd_ft)
+    return fill_fwd, fwd_macs, 3 * bwd_macs
 
 
 def osc_speed_of_light_s(b: int, t: int, hop: int, n_h: int, backward=False):

@@ -68,3 +68,42 @@ def test_gradients_match_xla(snr):
     gx = jax.grad(loss_xla, argnums=(0, 1, 2))(amps, loud, f0)
     for a, b in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+def test_banked2_variants_match_banked(snr):
+    """The round-3 window-row kernels (banked2: (ft+2)-row contraction, rot
+    or cheb8 fill, optional K-chunking) must reproduce the round-2 banked
+    kernel in both directions -- they are reschedulings of the same math."""
+    from ddsp_tpu.ops.pallas.oscillator import _pallas_backward, _pallas_forward
+
+    rng = np.random.default_rng(3)
+    b, t, hop, h = 2, 18, 128, 40  # t not divisible by ft: exercises padding
+    phase = jnp.asarray(rng.uniform(0, 1, (b, t, hop)).astype(np.float32))
+    amps = jnp.asarray(rng.uniform(0, 1, (b, t + 2, h)).astype(np.float32) / h)
+    loud = jnp.asarray(rng.uniform(0, 1, (b, t + 2)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((b, t * hop)).astype(np.float32))
+
+    want = np.asarray(_pallas_forward(phase, amps, loud, 4, impl="banked"))
+    for kw in (
+        dict(fill="rot"),
+        dict(fill="cheb8", resync_tiles=4),
+        dict(fill="rot", k_chunk=16),
+    ):
+        got = np.asarray(
+            _pallas_forward(phase, amps, loud, 4, impl="banked2", **kw)
+        )
+        assert snr(want, got) > 90.0, kw
+        got16 = np.asarray(
+            _pallas_forward(phase, amps, loud, 16, impl="banked2", **kw)
+        )
+        assert snr(want, got16) > 90.0, kw
+
+    wb = _pallas_backward(phase, amps, loud, g, 4, impl="banked")
+    for fpb in (4, 16):
+        gb = _pallas_backward(
+            phase, amps, loud, g, fpb, impl="banked2", fill="rot"
+        )
+        for name, a, c in zip(("dphase", "damps", "dloud"), wb, gb):
+            a, c = np.asarray(a), np.asarray(c)
+            assert a.shape == c.shape, (name, fpb)
+            assert snr(a, c) > 90.0, (name, fpb)
