@@ -101,11 +101,19 @@ def _fundamental_phase_cycles(
       (B, T, hop) fractional cycles.
 
     Numerics: phases are tracked in cycles so wrapping is an exact
-    floor-subtract, and the hop-boundary accumulation runs as a
-    Kahan-compensated `lax.scan` at frame rate (172 steps for a 2 s example)
-    with per-step wrapping -- the absolute phase never grows, so float32
-    keeps ~1e-7-cycle accuracy where the reference's audio-rate radian
-    cumsum (harmonic_oscillator.py:41-43) drifts by whole radians.
+    floor-subtract.  The hop-boundary accumulation is TWO-LEVEL: within
+    blocks of ``_PHASE_BLOCK`` frames the prefix runs as a parallel
+    ``cumsum`` on the exact 1/4096-grid split (the coarse part's partial
+    sums are exact multiples of 2^-12 below 2^24, so any summation order
+    is exact; the residual part is < 2^-12 per frame, so its log-depth
+    cumsum error is ~1e-8), and only the per-block carries go through a
+    Kahan-compensated `lax.scan` with per-step wrapping.  This keeps the
+    float32 accuracy of the round-2 full Kahan scan (~2e-7 cycles; the
+    reference's audio-rate radian cumsum, harmonic_oscillator.py:41-43,
+    drifts by whole radians) while cutting the sequential critical path
+    from T tiny ops to T/128: the 60 s batch-1 render's phase stage drops
+    from 2.0 ms to the carry chain's ~0.02 ms (scripts/scan_unroll_sweep.py
+    measured the op-latency-bound scan; unroll does not help).
     """
     w = f0_pad / sample_rate  # cycles per sample, frame rate
     left, mid, right = w[:, :-2], w[:, 1:-1], w[:, 2:]  # (B, T)
@@ -119,25 +127,49 @@ def _fundamental_phase_cycles(
     delta = partial[:, :, -1]  # per-hop total increment (B, T)
     delta = delta - jnp.floor(delta)  # whole cycles are phase-irrelevant
 
-    def step(carry, d):
+    b, t = delta.shape
+    block = _PHASE_BLOCK
+    nb = -(-t // block)
+    d = jnp.pad(delta, ((0, 0), (0, nb * block - t))).reshape(b, nb, block)
+    # Exact-grid split: hi on the 1/4096 grid, lo < 2^-12.
+    hi = jnp.floor(d * QUANT) * (1.0 / QUANT)
+    lo = d - hi
+    csum_hi = jnp.cumsum(hi, axis=-1)  # exact: grid multiples <= block
+    csum_lo = jnp.cumsum(lo, axis=-1)  # <= block * 2^-12, error ~1e-8
+    # Exclusive within-block prefix, wrapped while still split (the
+    # unwrapped coarse prefix reaches ~block cycles where f32 ulp is too
+    # coarse; frac() of a 2^-12-grid value is exact).
+    excl_hi = csum_hi - hi  # exact (both on the grid)
+    excl_lo = csum_lo - lo
+    excl = (excl_hi - jnp.floor(excl_hi)) + excl_lo  # (B, nb, block) < 1.04
+
+    # Per-block totals -> Kahan carry chain over nb steps only.
+    tot_hi = csum_hi[..., -1]
+    totals = (tot_hi - jnp.floor(tot_hi)) + csum_lo[..., -1]  # (B, nb)
+
+    def step(carry, dtot):
         s, c = carry  # wrapped phase, Kahan compensation
-        boundary = s  # phase at the START of this hop (exclusive scan)
-        y = d - c
-        t = s + y
-        c = (t - s) - y
-        s = t - jnp.floor(t)  # exact wrap to [0, 1+eps)
+        boundary = s  # phase at the START of this block (exclusive scan)
+        y = dtot - c
+        tt = s + y
+        c = (tt - s) - y
+        s = tt - jnp.floor(tt)  # exact wrap to [0, 1+eps)
         return (s, c), boundary
 
     s0 = initial_phase - jnp.floor(initial_phase)
-    (_, _), boundary = jax.lax.scan(
-        step, (s0, jnp.zeros_like(s0)), jnp.moveaxis(delta, 0, 1), unroll=8
+    (_, _), block0 = jax.lax.scan(
+        step, (s0, jnp.zeros_like(s0)), jnp.moveaxis(totals, 0, 1), unroll=8
     )
-    boundary = jnp.moveaxis(boundary, 0, 1)  # (B, T)
+    block0 = jnp.moveaxis(block0, 0, 1)  # (B, nb)
+
+    boundary = block0[:, :, None] + excl
+    boundary = (boundary - jnp.floor(boundary)).reshape(b, nb * block)[:, :t]
     phi = boundary[:, :, None] + partial
     return phi - jnp.floor(phi)
 
 
 QUANT = 4096.0  # split grid: h * coarse phase is exact in f32 for h <= 2048
+_PHASE_BLOCK = 128  # two-level phase prefix: parallel within, Kahan across
 
 
 def harmonic_sines(

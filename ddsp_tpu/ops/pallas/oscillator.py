@@ -832,10 +832,10 @@ def _pallas_backward(
     h = amps_pad.shape[-1]
     hp = _round_up(h, LANE)
     if frames_per_block is None:
-        # Backward carries TWO banks (sin + cos): 16-frame blocks put 12 MB
-        # of bank scratch against the 16 MB VMEM budget, so default to 8
-        # until the larger block is measured to fit and win.
-        frames_per_block = 8
+        # 16-frame blocks win here too (1.40 vs 1.81 ms, osc_v2_sweep bwd);
+        # the two f32 banks (12 MB) fit the 16 MB VMEM budget, and bf16
+        # banks measured slower (conversion cost exceeds the byte saving).
+        frames_per_block = 16 if t >= 16 else 8
     ft = max(8, _round_up(frames_per_block, 8))
     t_pad = _round_up(t, ft)
     g3 = g.reshape(b, t, hop)

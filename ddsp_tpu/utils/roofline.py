@@ -21,7 +21,7 @@ MXU_F32_DEFAULT = MXU_BF16 / 3  # 3 bf16 passes (bf16x3)
 VPU_OPS = 8 * 128 * 4 * 0.94e9  # ~3.85e12 elementwise ops/s
 
 OSC_FWD_FRAMES_PER_BLOCK = 16  # banked2 forward default (measured best)
-OSC_BWD_FRAMES_PER_BLOCK = 8  # backward default (two banks vs 16 MB VMEM)
+OSC_BWD_FRAMES_PER_BLOCK = 16  # backward default (12 MB of banks still fits)
 
 
 def _round_up(n: int, m: int) -> int:
