@@ -33,6 +33,11 @@ class Config:
     crepe_capacity: str = "tiny"  # 'tiny' | 'full'
     crepe_sample_rate: int = 16000
     crepe_window: int = 1024
+    # CREPE conv matmul dtype: 'bfloat16' runs the conv stack at full MXU
+    # rate with f32 accumulation (~identical argmax pitch bins; probs move
+    # ~1e-3).  Default f32 preserves 1e-4-level golden parity with the
+    # torch reference.
+    crepe_compute_dtype: str = "float32"
     # Pitch decode: 'argmax' (reference training path, encoder.py:120-128),
     # 'weighted' (intent-corrected local weighted average), or
     # 'centered_ref' (bug-compatible replica of the reference's

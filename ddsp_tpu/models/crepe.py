@@ -104,15 +104,24 @@ def load_torch_checkpoint(path: str) -> Dict:
     return {"layers": layers, "classifier": classifier}
 
 
-def _layer(x: jnp.ndarray, p: Dict, stride: int, pad) -> jnp.ndarray:
-    """pad -> conv1d -> relu -> inference BN -> maxpool(2, stride 2)."""
+def _layer(x: jnp.ndarray, p: Dict, stride: int, pad, compute_dtype=None) -> jnp.ndarray:
+    """pad -> conv1d -> relu -> inference BN -> maxpool(2, stride 2).
+
+    ``compute_dtype=jnp.bfloat16`` casts the conv operands (accumulation
+    stays f32 via ``preferred_element_type``) for full-rate MXU passes;
+    BN/ReLU/pool remain f32.
+    """
     x = jnp.pad(x, ((0, 0), (0, 0), pad))
+    w = p["weight"]
+    if compute_dtype is not None:
+        x, w = x.astype(compute_dtype), w.astype(compute_dtype)
     x = jax.lax.conv_general_dilated(
         x,
-        p["weight"],
+        w,
         window_strides=(stride,),
         padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
     )
     x = x + p["bias"][None, :, None]
     x = jax.nn.relu(x)
@@ -124,30 +133,43 @@ def _layer(x: jnp.ndarray, p: Dict, stride: int, pad) -> jnp.ndarray:
     )
 
 
-def crepe_embed(params: Dict, frames: jnp.ndarray) -> jnp.ndarray:
+def crepe_embed(params: Dict, frames: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
     """First five conv stages: (B, 1024) audio windows -> (B, C5, 8) features.
 
     Matches reference ``Crepe.embed`` (crepe/crepe.py:108-120).
     """
     x = frames[:, None, :]  # (B, 1, 1024)
     for i in range(5):
-        x = _layer(x, params["layers"][i], STRIDES[i], PADS[i])
+        x = _layer(x, params["layers"][i], STRIDES[i], PADS[i], compute_dtype)
     return x
 
 
-def crepe_forward(params: Dict, frames: jnp.ndarray, embed: bool = False) -> jnp.ndarray:
+def crepe_forward(
+    params: Dict,
+    frames: jnp.ndarray,
+    embed: bool = False,
+    compute_dtype=None,
+) -> jnp.ndarray:
     """(B, 1024) windows -> (B, 360) sigmoid pitch-bin probabilities.
 
     Matches reference ``Crepe.forward`` (crepe/crepe.py:90-104), including the
     h-major flatten order of the final (B, C, H) feature map.
+    ``compute_dtype``: see :func:`_layer` (config field
+    ``crepe_compute_dtype``).
     """
-    x = crepe_embed(params, frames)
+    x = crepe_embed(params, frames, compute_dtype)
     if embed:
         return x
-    x = _layer(x, params["layers"][5], STRIDES[5], PADS[5])  # (B, C, 4)
+    x = _layer(x, params["layers"][5], STRIDES[5], PADS[5], compute_dtype)
     b, c, h = x.shape
     x = jnp.moveaxis(x, 1, 2).reshape(b, h * c)  # h-major like torch permute
-    logits = x @ params["classifier"]["weight"].T + params["classifier"]["bias"]
+    cw = params["classifier"]["weight"]
+    if compute_dtype is not None:
+        x, cw = x.astype(compute_dtype), cw.astype(compute_dtype)
+    logits = (
+        jnp.dot(x, cw.T, preferred_element_type=jnp.float32)
+        + params["classifier"]["bias"]
+    )
     return jax.nn.sigmoid(logits)
 
 

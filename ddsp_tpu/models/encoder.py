@@ -89,7 +89,14 @@ def f0_encoder_apply(
     hop = crepe_frame_hop(orig_len, x.shape[-1], conf)
     frames = frame_signal(x, conf.crepe_window, hop)  # (B, T, 1024)
     b, t, w = frames.shape
-    probs = crepe_forward(crepe_params, frames.reshape(b * t, w))
+    cdtype = (
+        None
+        if conf.crepe_compute_dtype == "float32"
+        else jnp.dtype(conf.crepe_compute_dtype)
+    )
+    probs = crepe_forward(
+        crepe_params, frames.reshape(b * t, w), compute_dtype=cdtype
+    )
     probs = probs.reshape(b, t, -1)
 
     decoders = {

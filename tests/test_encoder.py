@@ -123,6 +123,34 @@ def test_crepe_frame_hop_rejects_degenerate_lengths():
         crepe_frame_hop(conf.n_fft + 1000, conf.crepe_window, conf)
 
 
+def test_crepe_bf16_compute_keeps_pitch_decode(tiny_params):
+    """crepe_compute_dtype='bfloat16' (the encode-throughput lever,
+    roofline: the f32 convs cap MFU at 1/3 of the MXU peak) must leave the
+    pitch decode intact: argmax bins ~identical on a real tone, f0 within
+    a few cents of the f32 path, probabilities within bf16 noise."""
+    conf = CONF
+    t = np.arange(conf.example_length) / conf.sample_rate
+    audio = (
+        0.5 * np.sin(2 * np.pi * 440.0 * t) * (0.3 + 0.7 * np.abs(np.sin(3 * t)))
+    ).astype(np.float32)[None]
+    f32 = encoder_apply(tiny_params, feature_pad(audio, conf), conf)
+    bf16 = encoder_apply(
+        tiny_params,
+        feature_pad(audio, conf),
+        conf.replace(crepe_compute_dtype="bfloat16"),
+    )
+    bins32 = np.argmax(np.asarray(f32["probabilities"]), -1)
+    bins16 = np.argmax(np.asarray(bf16["probabilities"]), -1)
+    assert (bins32 == bins16).mean() > 0.95  # stray +-1-bin flips only
+    f0a = np.asarray(f32["f0"])[0, 20:-20, 0]
+    f0b = np.asarray(bf16["f0"])[0, 20:-20, 0]
+    assert np.median(np.abs(1200 * np.log2(f0b / f0a))) < 21.0  # <= 1 bin
+    dp = np.abs(
+        np.asarray(f32["probabilities"]) - np.asarray(bf16["probabilities"])
+    )
+    assert dp.max() < 0.1  # bf16-noise scale, not a broken path
+
+
 def test_unknown_pitch_decode_raises_clearly():
     """A typo'd conf.pitch_decode must name the valid choices, not KeyError
     inside a jit trace."""
