@@ -31,12 +31,18 @@ def run_jack(
     crepe_params: Dict,
     conf: Config,
     client_name: str = "ddsp-tpu-rt",
-) -> None:  # pragma: no cover - needs a JACK server
+) -> None:
     """Stream mic -> synthesizer -> speakers through a JACK client.
 
     Mirrors the reference's port auto-wiring (rt/synth.py:66-83) but keeps
     all synthesis state inside the BlockSynthesizer (no globals mutated from
     the audio thread).
+
+    No JACK server/libjack exists in the CI environment, so a live drive is
+    environment-blocked there; the full callback wiring is exercised
+    against the API double in tests/jack_double.py
+    (tests/test_streaming.py::test_run_jack_through_fake_server), and
+    ``run_file_loopback`` is the offline driver over wav files.
     """
     if not HAS_JACK:
         raise RuntimeError(
