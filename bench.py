@@ -12,7 +12,7 @@ for driver-verifiable evidence beyond the single synth-forward number):
   osc_kernel_speedup_vs_xla             fused Pallas sine-bank vs XLA einsum
   osc_fwd_fraction_of_speed_of_light    measured vs v5e fill+contract bound
   mss_loss_fwdbwd_mfu                   STFT matmuls vs v5e bf16 MXU peak
-  multistream_256_hop_ms                256-client serving step vs RT deadline
+  multistream_{256,1024}_hop_ms         N-client serving step vs RT deadline
 
 Baselines (the reference publishes no numbers, SURVEY.md section 6, so each
 vs_baseline is against its implicit requirement or the BASELINE.json north
@@ -467,11 +467,13 @@ def bench_mss_mfu(conf):
 
 
 def bench_multistream(conf, crepe_params):
-    """256-slot serving step: per-hop device time of the fused multi-stream
-    pipeline (features + controller + synths for every slot).  Baseline =
-    the 11.6 ms real-time deadline; vs_baseline > 1 means 256 concurrent
-    real-time clients fit on one chip (scaling table:
-    scripts/profile_multistream.py + docs/PERFORMANCE.md)."""
+    """Serving capacity: per-hop device time of the fused multi-stream
+    pipeline (features + controller + synths for every slot) at 256 and
+    1024 slots.  Baseline = the 11.6 ms real-time deadline; vs_baseline > 1
+    means that many concurrent real-time clients fit on one chip.  The
+    round-3 frequency-delay-line reverb (models/synths.reverb_live) took
+    the 256-slot hop from 6.8 to ~1.5 ms and made 1024 slots real-time
+    (docs/PERFORMANCE.md round-3 profile)."""
     import jax
     import jax.numpy as jnp
 
@@ -481,40 +483,46 @@ def bench_multistream(conf, crepe_params):
         multistream_init,
     )
 
-    n = 256
     params = decoder_init(jax.random.PRNGKey(0), conf)
-    step = make_multistream_step(params, crepe_params, conf, jax.random.PRNGKey(2))
-    state0 = multistream_init(conf, n)
     rng = np.random.default_rng(0)
-
-    def make_many(iters):
-        @jax.jit
-        def many(state, seed_blocks):
-            def body(carry, i):
-                st, blocks = carry
-                out, st = step(st, blocks)  # nested jit inlines
-                return (st, jnp.tanh(out)), None  # feedback dependency
-
-            (st, last), _ = jax.lax.scan(
-                body, (state, seed_blocks), jnp.arange(iters)
-            )
-            return jnp.sum(last)
-
-        return many
-
-    dt = _marginal_time(
-        make_many,
-        lambda trial: (
-            state0,
-            jnp.asarray(
-                0.1 * rng.standard_normal((n, conf.hop_length)), jnp.float32
-            ),
-        ),
-    )
     deadline = conf.hop_length / conf.sample_rate
-    _emit(
-        "multistream_256_hop_ms", 1e3 * dt, "ms/hop (256 slots)", deadline / dt
-    )
+    for n in (256, 1024):
+        step = make_multistream_step(
+            params, crepe_params, conf, jax.random.PRNGKey(2)
+        )
+        state0 = multistream_init(conf, n)
+
+        def make_many(iters, step=step):
+            @jax.jit
+            def many(state, seed_blocks):
+                def body(carry, i):
+                    st, blocks = carry
+                    out, st = step(st, blocks)  # nested jit inlines
+                    return (st, jnp.tanh(out)), None  # feedback dependency
+
+                (st, last), _ = jax.lax.scan(
+                    body, (state, seed_blocks), jnp.arange(iters)
+                )
+                return jnp.sum(last)
+
+            return many
+
+        dt = _marginal_time(
+            make_many,
+            lambda trial: (
+                state0,
+                jnp.asarray(
+                    0.1 * rng.standard_normal((n, conf.hop_length)),
+                    jnp.float32,
+                ),
+            ),
+        )
+        _emit(
+            f"multistream_{n}_hop_ms",
+            1e3 * dt,
+            f"ms/hop ({n} slots)",
+            deadline / dt,
+        )
 
 
 import threading
@@ -632,7 +640,7 @@ def main():
          ("osc_kernel_speedup_vs_xla", "osc_fwd_fraction_of_speed_of_light")),
         ("mss_mfu", lambda: bench_mss_mfu(conf), ("mss_loss_fwdbwd_mfu",)),
         ("multistream", lambda: bench_multistream(conf, crepe_params),
-         ("multistream_256_hop_ms",)),
+         ("multistream_256_hop_ms", "multistream_1024_hop_ms")),
     ]
     done = {name: False for name, _, _ in tasks}
 

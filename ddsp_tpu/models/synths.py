@@ -14,7 +14,7 @@ block-based rendering bit-identical to offline rendering (see runtime/).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -143,25 +143,84 @@ def reverb_apply(params: dict, x: jnp.ndarray, conf: Config) -> jnp.ndarray:
     return fft_convolve(x, impulse[None, :], kernel_len=impulse.shape[-1])
 
 
+class ReverbLiveState(NamedTuple):
+    """Frequency-delay line for streaming reverb.
+
+    ``spec_re``/``spec_im``: (B, P, block+1) rDFT spectra of the last P
+    overlap-save windows, newest at partition index 0 (the ring advances
+    by a roll, so per-slot freeze/reset semantics in the multi-stream
+    runtime work row-wise with no position bookkeeping).  ``prev``:
+    (B, block) previous dry block (the left half of the next window).
+    """
+
+    spec_re: jnp.ndarray
+    spec_im: jnp.ndarray
+    prev: jnp.ndarray
+
+
+def reverb_partitions(conf: Config, block: int) -> int:
+    """Number of block-sized IR partitions covering the learned IR."""
+    return -(-conf.ir_length // block)
+
+
+def reverb_live_init(conf: Config, batch: int, block: int) -> ReverbLiveState:
+    p = reverb_partitions(conf, block)
+    return ReverbLiveState(
+        spec_re=jnp.zeros((batch, p, block + 1)),
+        spec_im=jnp.zeros((batch, p, block + 1)),
+        prev=jnp.zeros((batch, block)),
+    )
+
+
 def reverb_live(
-    params: dict, history: jnp.ndarray, x: jnp.ndarray, conf: Config
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Streaming reverb with full IR memory.
+    params: dict, state: ReverbLiveState, x: jnp.ndarray, conf: Config
+) -> Tuple[jnp.ndarray, ReverbLiveState]:
+    """Streaming reverb by partitioned (frequency-delay-line) convolution.
+
+    The round-2 implementation re-convolved a full (ir + block) window
+    every hop; at 256 serving slots that one stage cost 5.7 of the 6.8 ms
+    step (docs/PERFORMANCE.md round-3 profile).  Here the IR is split into
+    P = ceil(ir/block) block partitions whose 2*block rDFT spectra
+    multiply the stored spectra of the last P dry windows (overlap-save:
+    window j = [dry block j-1, dry block j], keep the last ``block``
+    inverse outputs) -- mathematically exact by linearity, one small
+    FFT pair per hop instead of an ir-sized convolution, and the spectral
+    MAC runs as an exact elementwise multiply + f32 sum over partitions.
+
+    Unlike the reference's rolling buffer (reverb.py:40-49, which loses
+    tail terms), the P-deep delay line carries the IR's full memory:
+    block output == offline output (tests/test_synths.py).
 
     Args:
-      history: (B, ir_length) past dry samples (zeros at stream start).
-      x: (B, block) current dry block.
+      state: :func:`reverb_live_init` pytree (zeros at stream start).
+      x: (B, block) current dry block; ``block`` must match the state's.
 
     Returns:
-      (wet block (B, block), new history).  Unlike the reference's rolling
-    buffer (reverb.py:40-49, which loses tail terms), keeping `ir_length`
-    samples of *pre-block* history makes block output == offline output.
+      (wet block (B, block), advanced state).
     """
+    from ddsp_tpu.ops.fft import irfft_pair, rfft_pair
+
     block = x.shape[-1]
-    window = jnp.concatenate([history, x], axis=-1)  # (B, ir + block)
-    impulse = reverb_impulse(params, conf)
-    wet = fft_convolve(window, impulse[None, :], kernel_len=impulse.shape[-1])[
-        ..., -block:
-    ]
-    new_history = window[..., -history.shape[-1] :]
-    return wet, new_history
+    if state.prev.shape[-1] != block:
+        raise ValueError(
+            f"block {block} does not match the reverb stream state's "
+            f"{state.prev.shape[-1]}; build the state with reverb_live_init"
+        )
+    nfft = 2 * block
+    p = state.spec_re.shape[1]
+
+    impulse = reverb_impulse(params, conf)  # (ir,)
+    hpad = jnp.pad(impulse, (0, p * block - impulse.shape[-1]))
+    hr, hi = rfft_pair(hpad.reshape(p, block), nfft)  # (P, block+1)
+
+    window = jnp.concatenate([state.prev, x], axis=-1)  # (B, 2*block)
+    xr, xi = rfft_pair(window, nfft)  # (B, block+1)
+    spec_re = jnp.concatenate([xr[:, None], state.spec_re[:, :-1]], axis=1)
+    spec_im = jnp.concatenate([xi[:, None], state.spec_im[:, :-1]], axis=1)
+
+    # Complex MAC over partitions, elementwise on the VPU (exact f32 sums;
+    # the operands are tiny next to the FFT matmuls).
+    acc_re = jnp.sum(spec_re * hr - spec_im * hi, axis=1)
+    acc_im = jnp.sum(spec_re * hi + spec_im * hr, axis=1)
+    wet = irfft_pair(acc_re, acc_im, nfft)[..., block:]
+    return wet, ReverbLiveState(spec_re, spec_im, x)

@@ -29,7 +29,7 @@ import numpy as np
 
 from ddsp_tpu.config import Config
 from ddsp_tpu.models.controller import controller_apply
-from ddsp_tpu.models.synths import reverb_live
+from ddsp_tpu.models.synths import reverb_live, reverb_live_init
 from ddsp_tpu.ops.fir import convolve_designed_fir
 from ddsp_tpu.ops.oscillator import render_padded
 from ddsp_tpu.runtime.streaming import (
@@ -48,7 +48,7 @@ class MultiStreamState(NamedTuple):
     cur: Dict[str, jnp.ndarray]  # controls of frame t (not yet rendered)
     pending: Dict[str, jnp.ndarray]  # noise mags {H} of frame t
     n_seen: jnp.ndarray  # (N,) per-slot frames consumed
-    reverb_hist: jnp.ndarray  # (N, ir_length) dry history
+    reverb_hist: object  # synths.ReverbLiveState frequency-delay line, (N, ...)
 
 
 def multistream_init(conf: Config, n_streams: int) -> MultiStreamState:
@@ -62,7 +62,7 @@ def multistream_init(conf: Config, n_streams: int) -> MultiStreamState:
         cur=_zero_controls(conf, n_streams),
         pending={"H": jnp.zeros((n_streams, 1, conf.n_noise_filters))},
         n_seen=jnp.zeros((n_streams,), jnp.int32),
-        reverb_hist=jnp.zeros((n_streams, conf.ir_length)),
+        reverb_hist=reverb_live_init(conf, n_streams, conf.hop_length),
     )
 
 
@@ -109,7 +109,9 @@ def _where_rows(mask: jnp.ndarray, new: MultiStreamState, old: MultiStreamState)
             lambda o, nw: rows(o, nw, 0), old.pending, new.pending
         ),
         n_seen=rows(old.n_seen, new.n_seen, 0),
-        reverb_hist=rows(old.reverb_hist, new.reverb_hist, 0),
+        reverb_hist=jax.tree_util.tree_map(
+            lambda o, nw: rows(o, nw, 0), old.reverb_hist, new.reverb_hist
+        ),
     )
 
 
@@ -179,7 +181,13 @@ def make_multistream_step(
             cur=new_ctrl,
             pending={"H": controls["H"]},
             n_seen=state.n_seen + 1,
-            reverb_hist=jnp.where(row, hist, state.reverb_hist),
+            reverb_hist=jax.tree_util.tree_map(
+                lambda h, o: jnp.where(
+                    have_output.reshape((-1,) + (1,) * (h.ndim - 1)), h, o
+                ),
+                hist,
+                state.reverb_hist,
+            ),
         )
         return out, new_state
 

@@ -29,7 +29,7 @@ import numpy as np
 from ddsp_tpu.config import Config
 from ddsp_tpu.models.controller import controller_apply
 from ddsp_tpu.models.crepe import crepe_forward, pitch_argmax
-from ddsp_tpu.models.synths import reverb_live
+from ddsp_tpu.models.synths import reverb_live, reverb_live_init
 from ddsp_tpu.ops.fir import filtered_noise
 from ddsp_tpu.ops.oscillator import render_padded
 from ddsp_tpu.ops.resample import resample, resample_length
@@ -43,7 +43,7 @@ class SynthStreamState(NamedTuple):
     cur: Dict[str, jnp.ndarray]  # controls of frame t (not yet rendered)
     pending: Dict[str, jnp.ndarray]  # noise mags {H} of frame t
     n_seen: jnp.ndarray  # frames consumed so far (int32)
-    reverb_hist: jnp.ndarray  # (B, ir_length) dry history
+    reverb_hist: object  # synths.ReverbLiveState frequency-delay line
 
 
 def _zero_controls(conf: Config, batch: int) -> Dict[str, jnp.ndarray]:
@@ -62,7 +62,7 @@ def synth_stream_init(conf: Config, batch: int = 1) -> SynthStreamState:
         cur=_zero_controls(conf, batch),
         pending={"H": jnp.zeros((batch, 1, conf.n_noise_filters))},
         n_seen=jnp.zeros((), jnp.int32),
-        reverb_hist=jnp.zeros((batch, conf.ir_length)),
+        reverb_hist=reverb_live_init(conf, batch, conf.hop_length),
     )
 
 
@@ -125,7 +125,11 @@ def make_synth_stream_step(params: Dict, conf: Config, noise_key: jax.Array):
             cur=new_ctrl,
             pending={"H": controls["H"]},
             n_seen=state.n_seen + 1,
-            reverb_hist=jnp.where(have_output, hist, state.reverb_hist),
+            reverb_hist=jax.tree_util.tree_map(
+                lambda h, o: jnp.where(have_output, h, o),
+                hist,
+                state.reverb_hist,
+            ),
         )
         return block, new_state
 

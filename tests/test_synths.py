@@ -52,6 +52,9 @@ def test_reverb_impulse_dry_path():
 
 
 def test_reverb_streaming_equals_offline(snr):
+    """Block-partitioned (frequency-delay-line) streaming == offline conv."""
+    from ddsp_tpu.models.synths import reverb_live_init
+
     params = _params(1)
     rng = np.random.default_rng(1)
     b, total, block = 1, 12000, 1000
@@ -59,13 +62,22 @@ def test_reverb_streaming_equals_offline(snr):
 
     offline = np.asarray(reverb_apply(params, x, CONF))
 
-    history = jnp.zeros((b, CONF.ir_length))
+    state = reverb_live_init(CONF, b, block)
     outs = []
     for i in range(0, total, block):
-        wet, history = reverb_live(params, history, x[:, i : i + block], CONF)
+        wet, state = reverb_live(params, state, x[:, i : i + block], CONF)
         outs.append(np.asarray(wet))
     stitched = np.concatenate(outs, axis=1)
     assert snr(offline, stitched) > 80.0
+
+
+def test_reverb_streaming_rejects_block_mismatch():
+    from ddsp_tpu.models.synths import reverb_live_init
+
+    params = _params(1)
+    state = reverb_live_init(CONF, 1, 256)
+    with pytest.raises(ValueError, match="block"):
+        reverb_live(params, state, jnp.zeros((1, 128)), CONF)
 
 
 def test_noise_streaming_equals_offline():
