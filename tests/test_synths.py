@@ -71,6 +71,30 @@ def test_reverb_streaming_equals_offline(snr):
     assert snr(offline, stitched) > 80.0
 
 
+def test_reverb_streaming_single_partition(snr):
+    """IR shorter than one block (P=1): the delay line degenerates to plain
+    overlap-save and must still match the offline convolution."""
+    from ddsp_tpu.models.synths import reverb_live_init
+
+    from ddsp_tpu.models.synths import reverb_init
+
+    conf = CONF.replace(reverb_length=100)  # < block
+    params = reverb_init(
+        jax.random.PRNGKey(3), conf, initial_wet=0.3, initial_decay=3.0
+    )
+    rng = np.random.default_rng(5)
+    b, total, block = 2, 2048, 256
+    x = rng.standard_normal((b, total)).astype(np.float32)
+    offline = np.asarray(reverb_apply(params, x, conf))
+    state = reverb_live_init(conf, b, block)
+    assert state.spec_re.shape[1] == 1  # P = 1
+    outs = []
+    for i in range(0, total, block):
+        wet, state = reverb_live(params, state, x[:, i : i + block], conf)
+        outs.append(np.asarray(wet))
+    assert snr(offline, np.concatenate(outs, axis=1)) > 80.0
+
+
 def test_reverb_streaming_rejects_block_mismatch():
     from ddsp_tpu.models.synths import reverb_live_init
 
