@@ -1027,6 +1027,99 @@ def pallas_render_from_phase(
     return _render_h(phase1, amps_pad, loud_pad, h0, frames_per_block)
 
 
+def pallas_render_hop_slots(
+    phase1: jnp.ndarray,  # (B, T, hop): T independent rows (serving slots)
+    amps_l: jnp.ndarray,  # (B, T, H): each row's PREVIOUS-frame amps
+    amps_m: jnp.ndarray,  # (B, T, H): each row's CURRENT-frame amps
+    amps_r: jnp.ndarray,  # (B, T, H): each row's NEXT-frame amps
+    loud_l: jnp.ndarray,  # (B, T) loudness window, same 3-frame layout
+    loud_m: jnp.ndarray,
+    loud_r: jnp.ndarray,
+    frames_per_block: int = 8,
+) -> jnp.ndarray:
+    """Fused hop render with INDEPENDENT window rows -- the serving case.
+
+    The offline kernel derives its three interpolation windows as shifted
+    views of one padded frame axis; in the serving hop every "frame" is a
+    different stream's single hop with its own (prev, cur, next) control
+    context, so the three windows are unrelated arrays.  The round-2
+    banked kernel (_kernel_banked) already takes exactly that operand
+    layout, so slots ride the frame axis of its grid: one (3ft, HB) x
+    (HB, ft*hop) contraction renders ft slots per block with no
+    harmonic-resolved HBM tensor.  Forward-only (serving is inference);
+    gradients are not defined through this entry.
+
+    Replaces the XLA t=1 path that materializes the (N, hop, H) sine
+    tensor in HBM -- the largest remaining stage of the multi-stream
+    serving step after the FDL reverb (docs/PERFORMANCE.md round-3
+    profile).
+
+    Returns (B, T*hop): row-major per-slot audio; callers reshape to
+    (T, hop) for B=1.
+    """
+    b, t, hop = phase1.shape
+    h = amps_l.shape[-1]
+    hp = _round_up(h, LANE)
+    ft = max(8, _round_up(frames_per_block, 8))
+    t_pad = _round_up(t, ft)
+    if t_pad != t:
+        grow3 = lambda x: jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
+        grow2 = lambda x: jnp.pad(x, ((0, 0), (0, t_pad - t)))
+        phase1 = grow3(phase1)
+        amps_l, amps_m, amps_r = grow3(amps_l), grow3(amps_m), grow3(amps_r)
+        loud_l, loud_m, loud_r = grow2(loud_l), grow2(loud_m), grow2(loud_r)
+    t_out = t
+    t = t_pad
+
+    padh = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, hp - h)))
+    amps_l, amps_m, amps_r = padh(amps_l), padh(amps_m), padh(amps_r)
+    loud_trip = jnp.stack([loud_l, loud_m, loud_r], -1)
+    loud_p = jnp.repeat(loud_trip, LANE, axis=-1)  # (B, T, 3*LANE)
+    w = jnp.pad(jnp.asarray(hop_weights(hop)), ((0, 0), (0, 1)))
+    w_big = jnp.asarray(
+        np.pad(
+            np.tile(np.asarray(hop_weights(hop)).T, (1, ft)), ((0, 5), (0, 0))
+        ).astype(np.float32)
+    )
+    h0 = jnp.zeros((1, 1), jnp.float32)
+
+    hb = _round_up(h, 8)
+    grid = (b, t // ft)
+    amp_spec = pl.BlockSpec(
+        (1, ft, hp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(
+        _kernel_banked, ft=ft, hop=hop, hp=hp, hb=hb, n_h=h
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, t, hop), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, ft, hop), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            amp_spec,
+            amp_spec,
+            amp_spec,
+            pl.BlockSpec(
+                (1, ft, 3 * LANE), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((hop, 4), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, ft * hop), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, ft, hop), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((hb, ft * hop), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * t * hop * hp * 4,
+            bytes_accessed=4 * (b * t * hop * 2 + 3 * b * t * hp),
+            transcendentals=b * t * hop * hp,
+        ),
+    )(phase1, amps_l, amps_m, amps_r, loud_p, w, w_big, h0)
+    return out[:, :t_out].reshape(b, t_out * hop)
+
+
 def oscillator_bank_pallas(
     f0: jnp.ndarray,
     harm_amps: jnp.ndarray,

@@ -107,3 +107,39 @@ def test_banked2_variants_match_banked(snr):
             a, c = np.asarray(a), np.asarray(c)
             assert a.shape == c.shape, (name, fpb)
             assert snr(a, c) > 90.0, (name, fpb)
+
+
+def test_slot_hop_kernel_matches_xla(snr):
+    """pallas_render_hop_slots (serving: N independent slots on the frame
+    axis, each with its own prev/cur/next context) == the XLA per-slot
+    t=1 render."""
+    from ddsp_tpu.ops.oscillator import _render_from_phase
+    from ddsp_tpu.ops.pallas.oscillator import pallas_render_hop_slots
+
+    rng = np.random.default_rng(9)
+    n, hop, h = 13, 128, 40  # n not a multiple of ft: exercises padding
+    phase = jnp.asarray(rng.uniform(0, 1, (n, 1, hop)).astype(np.float32))
+    l, m, r = (
+        jnp.asarray(rng.uniform(0, 1, (n, h)).astype(np.float32) / h)
+        for _ in range(3)
+    )
+    ll, lm, lr = (
+        jnp.asarray(rng.uniform(0, 1, (n,)).astype(np.float32))
+        for _ in range(3)
+    )
+    want = np.asarray(
+        _render_from_phase(
+            phase,
+            jnp.stack([l, m, r], axis=1),  # (N, 3, H) window rows
+            jnp.stack([ll, lm, lr], axis=1),  # (N, 3)
+            h,
+        )
+    )  # (N, hop)
+    got = np.asarray(
+        pallas_render_hop_slots(
+            phase.reshape(1, n, hop),
+            l[None], m[None], r[None],
+            ll[None], lm[None], lr[None],
+        )
+    ).reshape(n, hop)
+    assert snr(want, got) > 90.0
