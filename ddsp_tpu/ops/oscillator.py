@@ -320,6 +320,56 @@ def render_padded(
     return audio, final_phase
 
 
+def render_hop_rows(
+    f0_pad: jnp.ndarray,  # (N, 3, 1): each row's (prev, cur, next) f0
+    amps_pad: jnp.ndarray,  # (N, 3, H)
+    loud_pad: jnp.ndarray,  # (N, 3, 1)
+    *,
+    sample_rate: int,
+    hop: int,
+    initial_phase: jnp.ndarray,  # (N,) per-row fundamental phase, cycles
+    impl: str = "xla",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Render ONE hop for N independent rows (the serving/streaming case).
+
+    Semantically identical to ``render_padded`` at T=1 (each row a
+    separate stream with its own 3-frame context); with ``impl='pallas'``
+    the rows ride the frame axis of the fused slot-hop kernel
+    (ops/pallas/oscillator.pallas_render_hop_slots) instead of the XLA
+    path's HBM-materialized (N, hop, H) sine tensor.  Forward-only --
+    serving steps are not differentiated.
+
+    Returns (audio (N, hop), final phase (N,)).
+    """
+    if impl != "pallas":
+        return render_padded(
+            f0_pad,
+            amps_pad,
+            loud_pad,
+            sample_rate=sample_rate,
+            hop=hop,
+            initial_phase=initial_phase,
+        )
+    from ddsp_tpu.ops.pallas.oscillator import pallas_render_hop_slots
+
+    amps_n = nyquist_normalized_amps(f0_pad, amps_pad, sample_rate)
+    f0p = f0_pad[..., 0]
+    loudp = loud_pad[..., 0]
+    phase1 = _fundamental_phase_cycles(f0p, hop, sample_rate, initial_phase)
+    final_phase = phase1[:, -1, -1]
+    n = f0p.shape[0]
+    audio = pallas_render_hop_slots(
+        jnp.moveaxis(phase1, 0, 1),  # (1, N, hop): slots on the frame axis
+        amps_n[:, 0][None],
+        amps_n[:, 1][None],
+        amps_n[:, 2][None],
+        loudp[:, 0][None],
+        loudp[:, 1][None],
+        loudp[:, 2][None],
+    ).reshape(n, hop)
+    return audio, final_phase
+
+
 def oscillator_bank(
     f0: jnp.ndarray,
     harm_amps: jnp.ndarray,

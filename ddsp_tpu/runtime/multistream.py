@@ -29,9 +29,9 @@ import numpy as np
 
 from ddsp_tpu.config import Config
 from ddsp_tpu.models.controller import controller_apply
-from ddsp_tpu.models.synths import reverb_live, reverb_live_init
+from ddsp_tpu.models.synths import osc_impl_name, reverb_live, reverb_live_init
 from ddsp_tpu.ops.fir import convolve_designed_fir
-from ddsp_tpu.ops.oscillator import render_padded
+from ddsp_tpu.ops.oscillator import render_hop_rows
 from ddsp_tpu.runtime.streaming import (
     FeatureStreamState,
     feature_stream_init,
@@ -156,11 +156,12 @@ def make_multistream_step(
         cat = lambda k: jnp.concatenate(  # noqa: E731
             [prev_r[k], cur_r[k], new_ctrl[k]], axis=1
         )
-        harm, phase = render_padded(
+        harm, phase = render_hop_rows(
             cat("f0"), cat("c"), cat("a"),
             sample_rate=conf.sample_rate,
             hop=conf.hop_length,
             initial_phase=state.phase,
+            impl=osc_impl_name(conf),
         )
         offsets = jnp.maximum(state.n_seen - 1, 0)
         noise_frames = _slot_noise(
@@ -216,11 +217,12 @@ def make_multistream_flush(
         cat = lambda k: jnp.concatenate(  # noqa: E731
             [state.prev[k], state.cur[k], state.cur[k]], axis=1
         )
-        harm, phase = render_padded(
+        harm, phase = render_hop_rows(
             cat("f0"), cat("c"), cat("a"),
             sample_rate=conf.sample_rate,
             hop=conf.hop_length,
             initial_phase=state.phase,
+            impl=osc_impl_name(conf),
         )
         offsets = jnp.maximum(state.n_seen - 1, 0)
         noise_frames = _slot_noise(

@@ -31,7 +31,7 @@ from ddsp_tpu.models.controller import controller_apply
 from ddsp_tpu.models.crepe import crepe_forward, pitch_argmax
 from ddsp_tpu.models.synths import reverb_live, reverb_live_init
 from ddsp_tpu.ops.fir import filtered_noise
-from ddsp_tpu.ops.oscillator import render_padded
+from ddsp_tpu.ops.oscillator import render_hop_rows
 from ddsp_tpu.ops.resample import resample, resample_length
 from ddsp_tpu.ops.spectral import a_weighted_loudness
 
@@ -77,11 +77,14 @@ def _render_hop(
     cat = lambda k: jnp.concatenate(
         [state.prev[k], state.cur[k], next_ctrl[k]], axis=1
     )
-    harm, phase = render_padded(
+    from ddsp_tpu.models.synths import osc_impl_name
+
+    harm, phase = render_hop_rows(
         cat("f0"), cat("c"), cat("a"),
         sample_rate=conf.sample_rate,
         hop=conf.hop_length,
         initial_phase=state.phase,
+        impl=osc_impl_name(conf),
     )
     noise = filtered_noise(
         state.pending["H"], noise_key, conf.hop_length,

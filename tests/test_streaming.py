@@ -220,3 +220,35 @@ def test_run_jack_through_fake_server():
     oracle = BlockSynthesizer(params, crepe, CONF)
     want = np.stack([oracle.process(b) for b in blocks])
     np.testing.assert_array_equal(got, want.astype(np.float32))
+
+
+def test_stream_step_pallas_matches_xla(snr):
+    """The serving hop with the fused slot kernel (osc_impl='pallas',
+    interpret mode on CPU) == the XLA hop path, over several hops of a
+    live stream."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ddsp_tpu.runtime.streaming import (
+        make_synth_stream_step,
+        synth_stream_init,
+    )
+
+    params = decoder_init(jax.random.PRNGKey(0), CONF)
+    key = jax.random.PRNGKey(4)
+    feats = _features(t=6, seed=3)
+    frames = [
+        {k: v[:, i : i + 1] for k, v in feats.items()} for i in range(6)
+    ]
+
+    outs = {}
+    for impl in ("xla", "pallas"):
+        conf = CONF.replace(osc_impl=impl)
+        step = make_synth_stream_step(params, conf, key)
+        state = synth_stream_init(conf)
+        blocks = []
+        with pltpu.force_tpu_interpret_mode():
+            for fr in frames:
+                out, state = step(state, {k: jnp.asarray(v) for k, v in fr.items()})
+                blocks.append(np.asarray(out))
+        outs[impl] = np.concatenate(blocks, axis=-1)
+    assert snr(outs["xla"], outs["pallas"]) > 80.0
