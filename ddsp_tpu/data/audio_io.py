@@ -203,6 +203,10 @@ def read_via_pygame(path: str) -> Tuple[np.ndarray, int]:
                 | ((head[8] & 0x7F) << 7)
                 | (head[9] & 0x7F)
             )
+            # Clamp to the actual file size: the sync-safe field of a
+            # corrupt tag can claim up to ~256 MB and the probe must not
+            # try to buffer that much just to read a frame header.
+            tag_end = min(tag_end, os.path.getsize(path))
             if tag_end + (1 << 16) > len(head):
                 f.seek(0)
                 head = f.read(tag_end + (1 << 16))

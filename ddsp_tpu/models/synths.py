@@ -172,8 +172,31 @@ def reverb_live_init(conf: Config, batch: int, block: int) -> ReverbLiveState:
     )
 
 
+def reverb_ir_spectra(
+    params: dict, conf: Config, block: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Precompute the (P, block+1) rDFT spectra of the IR's partitions.
+
+    Serving steps render with *fixed* reverb params, so the partition
+    spectra are loop-invariant; computing them once at step-build time and
+    passing them to :func:`reverb_live` saves P block-sized DFT matmuls per
+    hop (round-3 ADVICE).  Training paths (where the IR is learned) keep
+    the default recompute-from-params behavior.
+    """
+    from ddsp_tpu.ops.fft import rfft_pair
+
+    p = reverb_partitions(conf, block)
+    impulse = reverb_impulse(params, conf)  # (ir,)
+    hpad = jnp.pad(impulse, (0, p * block - impulse.shape[-1]))
+    return rfft_pair(hpad.reshape(p, block), 2 * block)
+
+
 def reverb_live(
-    params: dict, state: ReverbLiveState, x: jnp.ndarray, conf: Config
+    params: dict,
+    state: ReverbLiveState,
+    x: jnp.ndarray,
+    conf: Config,
+    ir_spec: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> Tuple[jnp.ndarray, ReverbLiveState]:
     """Streaming reverb by partitioned (frequency-delay-line) convolution.
 
@@ -207,11 +230,11 @@ def reverb_live(
             f"{state.prev.shape[-1]}; build the state with reverb_live_init"
         )
     nfft = 2 * block
-    p = state.spec_re.shape[1]
-
-    impulse = reverb_impulse(params, conf)  # (ir,)
-    hpad = jnp.pad(impulse, (0, p * block - impulse.shape[-1]))
-    hr, hi = rfft_pair(hpad.reshape(p, block), nfft)  # (P, block+1)
+    hr, hi = (
+        ir_spec
+        if ir_spec is not None
+        else reverb_ir_spectra(params, conf, block)
+    )  # (P, block+1)
 
     window = jnp.concatenate([state.prev, x], axis=-1)  # (B, 2*block)
     xr, xi = rfft_pair(window, nfft)  # (B, block+1)

@@ -1020,8 +1020,9 @@ def pallas_render_from_phase(
     scalar, e.g. ``axis_index * shard`` under tensor parallelism) --
     ``amps_pad[..., i]`` drives harmonic ``h_start + i + 1``.
 
-    ``frames_per_block=None`` picks the measured-best block size per
-    direction (forward 16 frames at production shape, backward 8).
+    ``frames_per_block=None`` picks the measured-best block size: 16
+    frames in BOTH directions at production shape (the backward resolves
+    16 whenever t >= 16, matching roofline.OSC_BWD_FRAMES_PER_BLOCK).
     """
     h0 = jnp.asarray(0.0 if h_start is None else h_start, jnp.float32)
     return _render_h(phase1, amps_pad, loud_pad, h0, frames_per_block)

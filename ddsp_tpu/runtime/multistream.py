@@ -138,6 +138,11 @@ def make_multistream_step(
     lockstep stream (tests/test_server.py).
     """
     feat_step = make_feature_stream_step(crepe_params, conf)
+    # Fixed params for the step's lifetime -> precompute the reverb IR
+    # partition spectra once instead of P DFT matmuls per hop.
+    from ddsp_tpu.models.synths import reverb_ir_spectra
+
+    ir_spec = reverb_ir_spectra(params["reverb"], conf, conf.hop_length)
 
     def step(state: MultiStreamState, blocks: jnp.ndarray):
         frame, feat = feat_step(state.feat, blocks)
@@ -169,7 +174,9 @@ def make_multistream_step(
         )
         noise = convolve_designed_fir(state.pending["H"], noise_frames)
         dry = harm + noise
-        wet, hist = reverb_live(params["reverb"], state.reverb_hist, dry, conf)
+        wet, hist = reverb_live(
+            params["reverb"], state.reverb_hist, dry, conf, ir_spec=ir_spec
+        )
 
         have_output = state.n_seen >= 1  # (N,)
         row = have_output[:, None]
@@ -211,6 +218,9 @@ def make_multistream_flush(
     """Jitted state -> (tail_blocks (N, hop), state): render every slot's
     final buffered frame with right-edge clamp (single-stream flush
     semantics, runtime/streaming.make_synth_stream_flush)."""
+    from ddsp_tpu.models.synths import reverb_ir_spectra
+
+    ir_spec = reverb_ir_spectra(params["reverb"], conf, conf.hop_length)
 
     @jax.jit
     def flush(state: MultiStreamState):
@@ -230,7 +240,9 @@ def make_multistream_flush(
         )
         noise = convolve_designed_fir(state.pending["H"], noise_frames)
         dry = harm + noise
-        wet, hist = reverb_live(params["reverb"], state.reverb_hist, dry, conf)
+        wet, hist = reverb_live(
+            params["reverb"], state.reverb_hist, dry, conf, ir_spec=ir_spec
+        )
         return wet, state._replace(phase=phase, reverb_hist=hist)
 
     return flush

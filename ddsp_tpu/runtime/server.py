@@ -75,6 +75,7 @@ class _Slot:
     def __init__(self):
         self.inp: Optional[np.ndarray] = None
         self.out: Optional[np.ndarray] = None
+        self.seq = 0  # bumped per real delivery: freshness, not _stop, decides
         self.out_ready = threading.Event()
         self.flush_req = False
         self.reset_req = False  # applied by the engine before the next step
@@ -190,13 +191,21 @@ class StreamServer:
     # --------------------------------------------------------------- clients
 
     def _await_output(self, slot: _Slot) -> bool:
-        while not self._stop.is_set():
+        # Freshness (the per-delivery seq), not _stop, decides: a block the
+        # engine delivered just before shutdown still reaches its client
+        # (round-3 ADVICE: checking _stop at wakeup dropped that last block).
+        start_seq = slot.seq
+        while True:
             if slot.out_ready.wait(timeout=0.5):
                 slot.out_ready.clear()
+                if slot.seq != start_seq and slot.out is not None:
+                    return True
                 # a shutdown/engine-failure wakeup carries no data: treat it
                 # as a disconnect, not a delivery
-                return slot.out is not None and not self._stop.is_set()
-        return False
+                if self._stop.is_set():
+                    return False
+            elif self._stop.is_set():
+                return False
 
     def _client_loop(self, conn: socket.socket, slot_id: int) -> None:
         slot = self._slots[slot_id]
@@ -293,6 +302,7 @@ class StreamServer:
                 with self._lock:
                     if self._slots[i].gen == gens[i]:  # owner unchanged
                         self._slots[i].out = row
+                        self._slots[i].seq += 1
                         self._slots[i].out_ready.set()
 
             if flushes:

@@ -72,6 +72,7 @@ def _render_hop(
     next_ctrl: Dict[str, jnp.ndarray],
     conf: Config,
     noise_key: jax.Array,
+    ir_spec=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Render the hop of state.cur with (prev, cur, next) context."""
     cat = lambda k: jnp.concatenate(
@@ -91,7 +92,9 @@ def _render_hop(
         frame_offset=state.n_seen - 1,
     )
     dry = harm + noise
-    wet, hist = reverb_live(params["reverb"], state.reverb_hist, dry, conf)
+    wet, hist = reverb_live(
+        params["reverb"], state.reverb_hist, dry, conf, ir_spec=ir_spec
+    )
     return wet, phase, hist
 
 
@@ -101,7 +104,14 @@ def make_synth_stream_step(params: Dict, conf: Config, noise_key: jax.Array):
     ``feature_frame``: {'f0', 'normalized_cents', 'loudness'} of shape
     (B, 1, .) -- ONE new frame.  Returns the hop of the *previous* frame
     (zeros for the first two calls while the pipeline fills).
+
+    Params are fixed for the step's lifetime, so the reverb IR partition
+    spectra are precomputed once here rather than per hop (synths.
+    reverb_ir_spectra).
     """
+    from ddsp_tpu.models.synths import reverb_ir_spectra
+
+    ir_spec = reverb_ir_spectra(params["reverb"], conf, conf.hop_length)
 
     @jax.jit
     def step(state: SynthStreamState, frame: Dict[str, jnp.ndarray]):
@@ -118,7 +128,9 @@ def make_synth_stream_step(params: Dict, conf: Config, noise_key: jax.Array):
         cur_for_render = snap(state.cur, new_ctrl)
         render_state = state._replace(prev=prev_for_render, cur=cur_for_render)
 
-        wet, phase, hist = _render_hop(params, render_state, new_ctrl, conf, noise_key)
+        wet, phase, hist = _render_hop(
+            params, render_state, new_ctrl, conf, noise_key, ir_spec=ir_spec
+        )
         have_output = state.n_seen >= 1
         block = jnp.where(have_output, wet, jnp.zeros_like(wet))
         new_state = SynthStreamState(
@@ -141,10 +153,15 @@ def make_synth_stream_step(params: Dict, conf: Config, noise_key: jax.Array):
 
 def make_synth_stream_flush(params: Dict, conf: Config, noise_key: jax.Array):
     """Render the final buffered frame with right-edge clamp (offline parity)."""
+    from ddsp_tpu.models.synths import reverb_ir_spectra
+
+    ir_spec = reverb_ir_spectra(params["reverb"], conf, conf.hop_length)
 
     @jax.jit
     def flush(state: SynthStreamState):
-        wet, phase, hist = _render_hop(params, state, state.cur, conf, noise_key)
+        wet, phase, hist = _render_hop(
+            params, state, state.cur, conf, noise_key, ir_spec=ir_spec
+        )
         return wet, state._replace(phase=phase, reverb_hist=hist)
 
     return flush
