@@ -22,6 +22,13 @@ Usage: python multihost_worker.py <proc_id> <nproc> <port> <out.json> <mode>
                  whose device grid is interleaved so the 'model' axis
                  spans the two processes — the harmonic-bank psums
                  (amp renorm + audio sum) cross the process boundary.
+  mode 'sp3':    run 3 DP x SP x TP train steps on a (data=2, time=2,
+                 model=2) 8-device mesh (4 virtual devices per process)
+                 whose grid is interleaved so BOTH the 'time' collectives
+                 (STFT-halo psums, phase-carry/reverb ppermutes) AND the
+                 'model' collectives (harmonic-bank psums) cross the
+                 process boundary — the fully composed mesh algebra over
+                 (fake) DCN.  Writes losses + checksum.
   mode 'render': time-sharded render on a (data=1, time=4) mesh — every
                  'time'-axis hop (phase carry, control halo, reverb
                  overlap-save halo) is a cross-process ppermute for the
@@ -136,6 +143,103 @@ def run_sp(conf, bail):
     bail(
         {
             "losses": losses,
+            "checksum": checksum,
+            "process_count": jax.process_count(),
+            "global_devices": len(jax.devices()),
+        }
+    )
+
+
+def run_sp3(conf, bail):
+    """DP x SP x TP training over a cross-process (2, 2, 2) mesh.
+
+    Grid: cell (di, ti, mi) lives on process (ti + mi) % 2, so flipping
+    the 'time' coordinate (halo ppermutes, sharded-MSS psums) or the
+    'model' coordinate (harmonic-bank psums) always crosses the process
+    boundary, while the 'data' grad all-reduce stays intra-process (that
+    crossing is covered by mode 'normal').
+    """
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ddsp_tpu.parallel.mesh import make_mesh3
+    from ddsp_tpu.parallel.sp import make_sp_train_step
+    from ddsp_tpu.training.trainer import init_state
+
+    by_proc = {}
+    for d in jax.devices():
+        by_proc.setdefault(d.process_index, []).append(d)
+    assert len(jax.devices()) == 8 and len(by_proc) == 2, jax.devices()
+    grid = []
+    take = {0: 0, 1: 0}
+    for di in range(2):
+        for ti in range(2):
+            for mi in range(2):
+                p = (ti + mi) % 2
+                grid.append(by_proc[p][take[p]])
+                take[p] += 1
+    mesh = make_mesh3(n_data=2, n_time=2, n_model=2, devices=grid)
+
+    batch = make_batch(conf, t=16)  # local time shard 8 frames >= n_fft/2+1
+
+    def to_global(value, spec):
+        value = np.asarray(value)
+        sh = NamedSharding(mesh, spec)
+        return jax.make_array_from_callback(
+            value.shape, sh, lambda idx: value[idx]
+        )
+
+    gbatch = {
+        k: to_global(v, P("data", "time") if k == "audio" else P("data"))
+        for k, v in batch.items()
+    }
+    state = init_state(jax.random.PRNGKey(0), conf)
+    state = jax.tree.map(lambda x: to_global(x, P()), state)
+    step = make_sp_train_step(conf, mesh)
+
+    losses = []
+    for _ in range(NUM_STEPS):
+        state, metrics = step(state, gbatch)
+        losses.append(float(metrics["loss"]))
+    # Some updated leaves come back sharded over 'model' (sharding
+    # propagation through the harmonic head); gather the global values.
+    from jax.experimental import multihost_utils
+
+    params_full = multihost_utils.process_allgather(state.params, tiled=True)
+    checksum = float(
+        sum(np.abs(x).sum() for x in jax.tree.leaves(params_full))
+    )
+
+    # Single-process oracle computed HERE (the worker has the full batch):
+    # worst elementwise param delta under the test suite's allclose
+    # criterion |a-b| / (atol + rtol|a|) with rtol=2e-3, atol=3e-3 (< 1
+    # passes; an aggregate checksum would smear ~lr-sized Adam sign flips
+    # on near-zero grads over 50k params).
+    from ddsp_tpu.training.trainer import make_train_step
+
+    oracle = init_state(jax.random.PRNGKey(0), conf)
+    ostep = jax.jit(make_train_step(conf))
+    oracle_losses = []
+    for _ in range(NUM_STEPS):
+        oracle, ometrics = ostep(
+            oracle, {k: jax.numpy.asarray(v) for k, v in batch.items()}
+        )
+        oracle_losses.append(float(ometrics["loss"]))
+    worst = 0.0
+    for a, b in zip(
+        jax.tree.leaves(oracle.params), jax.tree.leaves(params_full)
+    ):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        worst = max(
+            worst, float(np.max(np.abs(a - b) / (3e-3 + 2e-3 * np.abs(a))))
+        )
+    bail(
+        {
+            "losses": losses,
+            "oracle_losses": oracle_losses,
+            "worst_param_delta": worst,
             "checksum": checksum,
             "process_count": jax.process_count(),
             "global_devices": len(jax.devices()),
@@ -277,10 +381,12 @@ def main():
     proc_id, nproc = int(sys.argv[1]), int(sys.argv[2])
     port, out_path, mode = sys.argv[3], sys.argv[4], sys.argv[5]
 
-    # 2 virtual CPU devices per process; must be set before jax imports xla.
+    # 2 virtual CPU devices per process (4 for the 3-axis mesh); must be
+    # set before jax imports xla.
+    per_proc = 4 if mode == "sp3" else 2
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
-        + " --xla_force_host_platform_device_count=2"
+        + f" --xla_force_host_platform_device_count={per_proc}"
     )
     import jax
 
@@ -309,7 +415,7 @@ def main():
         os._exit(3)
 
     signal.signal(signal.SIGALRM, on_alarm)
-    signal.alarm(240)
+    signal.alarm(420 if mode == "sp3" else 240)
 
     initialize_distributed(
         f"127.0.0.1:{port}", nproc, proc_id, heartbeat_timeout_seconds=5
@@ -319,6 +425,9 @@ def main():
 
     if mode == "sp":
         run_sp(conf, bail)
+        return
+    if mode == "sp3":
+        run_sp3(conf, bail)
         return
     if mode == "tp":
         run_tp(conf, bail)
