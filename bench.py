@@ -6,13 +6,15 @@ for driver-verifiable evidence beyond the single synth-forward number):
 
   synth_forward_samples_per_s_per_chip  full decoder forward, batch 16 x 2 s
   train_step_ms                         decoder->synth->6-scale MSS->Adam
+  train_step_fraction_of_bound          measured vs composed whole-step bound
   stream_hop_ms                         the reference's whole JACK callback
   encode_samples_per_s_per_chip         CREPE-tiny f0 + loudness extraction
   long_render_samples_per_s             one 60 s stream, batch 1 (serving)
   osc_kernel_speedup_vs_xla             fused Pallas sine-bank vs XLA einsum
   osc_fwd_fraction_of_speed_of_light    measured vs v5e fill+contract bound
   mss_loss_fwdbwd_mfu                   STFT matmuls vs v5e bf16 MXU peak
-  multistream_{256,1024}_hop_ms         N-client serving step vs RT deadline
+  multistream_{256,1024,2048}_hop_ms    N-client serving step vs RT deadline
+  multistream_frontier_slots            largest slot count inside the deadline
 
 Baselines (the reference publishes no numbers, SURVEY.md section 6, so each
 vs_baseline is against its implicit requirement or the BASELINE.json north
@@ -187,6 +189,19 @@ def bench_train_step(conf):
         1e3 * dt,
         "ms/step",
         learned_sps / (RT_TARGET * conf.sample_rate),
+    )
+    # Whole-step roofline (round-3 VERDICT #4): measured time vs the
+    # composed per-stage speed-of-light bound (controller MXU + GRU serial
+    # latency + oscillator fill/contract + noise FIR + reverb FFT + MSS
+    # matmuls + Adam HBM; accounting in utils/roofline.train_step_bound_s).
+    from ddsp_tpu.utils.roofline import train_step_bound_s
+
+    bound_s, _ = train_step_bound_s(conf, batch_size)
+    _emit(
+        "train_step_fraction_of_bound",
+        bound_s / dt,
+        "fraction of composed stage bound",
+        bound_s / dt,
     )
 
 
@@ -486,7 +501,8 @@ def bench_multistream(conf, crepe_params):
     params = decoder_init(jax.random.PRNGKey(0), conf)
     rng = np.random.default_rng(0)
     deadline = conf.hop_length / conf.sample_rate
-    for n in (256, 1024):
+    hops = {}
+    for n in (256, 1024, 2048):
         step = make_multistream_step(
             params, crepe_params, conf, jax.random.PRNGKey(2)
         )
@@ -517,12 +533,24 @@ def bench_multistream(conf, crepe_params):
                 ),
             ),
         )
+        hops[n] = dt
         _emit(
             f"multistream_{n}_hop_ms",
             1e3 * dt,
             f"ms/hop ({n} slots)",
             deadline / dt,
         )
+    # Serving-capacity frontier: the largest measured slot count whose hop
+    # fits the reference's 11.6 ms deadline (round-4 full sweep
+    # 1024..3072 in scripts/multistream_frontier.py: 2048 fits at
+    # ~10.3 ms, 2560 misses at ~12.8).
+    fit = [n for n, dt in hops.items() if dt < deadline]
+    _emit(
+        "multistream_frontier_slots",
+        max(fit) if fit else 0,
+        "concurrent real-time streams/chip",
+        (max(fit) if fit else 0) / 1.0,
+    )
 
 
 import threading
@@ -629,7 +657,8 @@ def main():
         # (name, fn, metrics the task emits when it completes)
         ("synth_forward", lambda: bench_synth_forward(conf),
          ("synth_forward_samples_per_s_per_chip",)),
-        ("train_step", lambda: bench_train_step(conf), ("train_step_ms",)),
+        ("train_step", lambda: bench_train_step(conf),
+         ("train_step_ms", "train_step_fraction_of_bound")),
         ("stream_hop", lambda: bench_stream_hop(conf, crepe_params),
          ("stream_hop_ms",)),
         ("encode", lambda: bench_encode(conf, crepe_params),
@@ -640,7 +669,8 @@ def main():
          ("osc_kernel_speedup_vs_xla", "osc_fwd_fraction_of_speed_of_light")),
         ("mss_mfu", lambda: bench_mss_mfu(conf), ("mss_loss_fwdbwd_mfu",)),
         ("multistream", lambda: bench_multistream(conf, crepe_params),
-         ("multistream_256_hop_ms", "multistream_1024_hop_ms")),
+         ("multistream_256_hop_ms", "multistream_1024_hop_ms",
+          "multistream_2048_hop_ms", "multistream_frontier_slots")),
     ]
     done = {name: False for name, _, _ in tasks}
 

@@ -146,3 +146,144 @@ def mss_flops(b: int, length: int, ffts, overlap: float, backward=False):
     per_signal = stft_macs(length, ffts, overlap)
     macs = (3 if backward else 2) * b * per_signal
     return 2 * macs
+
+
+# --- full train-step bound (round-3 VERDICT #4) ------------------------------
+HBM_BYTES_PER_S = 819e9  # v5e HBM bandwidth
+GRU_STEP_LATENCY_S = 0.59e-6  # measured serial floor per recurrence step
+# (3.06 ms / 5168 steps at B=1, unroll-insensitive; a fused Pallas
+# recurrence kernel ties it -- docs/PERFORMANCE.md round-3).
+
+
+def controller_macs(b: int, t: int, conf) -> int:
+    """MXU MACs of one controller forward (models/controller.py):
+    two input MLPs -> GRU (input projection + recurrence) -> post-MLP ->
+    three heads.  LayerNorm/activation elementwise work is not counted."""
+    u = conf.decoder_mlp_units
+    layers = conf.decoder_mlp_layers
+    g = conf.decoder_gru_units
+    heads = conf.n_harmonics + 1 + conf.n_noise_filters
+
+    def mlp(n_in):
+        return n_in * u + (layers - 1) * u * u
+
+    per_frame = (
+        mlp(1)  # mlp_f0
+        + mlp(1)  # mlp_loudness
+        + 2 * u * 3 * g  # GRU input projection (in = 2u)
+        + g * 3 * g  # GRU recurrence (per layer; n_layers=1 in production)
+        + mlp(g + 2 * u)  # post-GRU MLP
+        + u * heads  # dense heads
+    )
+    return b * t * per_frame
+
+
+def decoder_param_count(conf) -> int:
+    """Trainable parameter count of the decoder (controller + reverb)."""
+    u = conf.decoder_mlp_units
+    layers = conf.decoder_mlp_layers
+    g = conf.decoder_gru_units
+    heads = conf.n_harmonics + 1 + conf.n_noise_filters
+
+    def mlp(n_in):
+        first = n_in * u + u + 2 * u
+        rest = (layers - 1) * (u * u + u + 2 * u)
+        return first + rest
+
+    gru = conf.decoder_gru_layers * (3 * g * 2 * u + 3 * g * g + 6 * g)
+    dense = u * heads + heads
+    return mlp(1) * 2 + gru + mlp(g + 2 * u) + dense + conf.ir_length + 2
+
+
+def noise_fir_macs(b: int, t: int, conf, backward: bool = True) -> int:
+    """MACs of the fused filtered-noise stage (ops/fir.convolve_designed_fir):
+    per frame, the design-spectrum matmul pair (nf x nbins, twice), the
+    noise frames' forward rDFT pair, and the truncated inverse pair.
+    Backward adds the design-pair and inverse-pair transposes (the noise
+    frames carry no gradient)."""
+    from ddsp_tpu.ops.fft import next_fft_size
+
+    nf = conf.n_noise_filters
+    block = conf.hop_length
+    n = next_fft_size(2 * block - 1)
+    nbins = n // 2 + 1
+    design = 2 * nf * nbins
+    fwd_fft = 2 * block * nbins
+    inv = 2 * nbins * block
+    per_frame = design + fwd_fft + inv
+    if backward:
+        per_frame += design + inv
+    return b * t * per_frame
+
+
+def reverb_conv_macs(b: int, length: int, ir_len: int, backward: bool = True) -> int:
+    """MACs of the offline reverb convolution as actually planned by
+    ops/fft.rfft_convolve_same: overlap-save chunking + packed-pair complex
+    Cooley-Tukey FFTs.  Complex FFT row of size m costs 4*m*(n1+n2) real
+    MACs (two complex matmul stages); backward is ~2 more convolutions of
+    the same class (d/dsignal correlation + d/dkernel correlation)."""
+    from ddsp_tpu.ops.fft import (
+        DIRECT_MAX,
+        _overlap_save_plan,
+        _split_factors,
+        next_fft_size,
+    )
+
+    k = _overlap_save_plan(length, ir_len)
+    c = -(-length // k)
+    m = next_fft_size(c + ir_len - 1)
+    if m <= DIRECT_MAX:
+        row = 4 * m * m
+    else:
+        n1, n2 = _split_factors(m)
+        row = 4 * m * (n1 + n2)
+    rows_fwd = b * k // 2  # packed pairs
+    rows_inv = b * k // 2
+    kernel_row = 1
+    one_conv = (rows_fwd + rows_inv + kernel_row) * row
+    return one_conv * (3 if backward else 1)
+
+
+def train_step_bound_s(conf, b: int):
+    """(bound_seconds, breakdown) -- composed speed-of-light lower bound for
+    one full train step at batch ``b`` (decoder forward + MSS loss + full
+    backward + Adam).
+
+    Per stage the bound is that stage's own limiting resource (MXU passes
+    at its precision, VPU fill, serial recurrence latency, HBM bytes);
+    stages are *dependent* (controller -> synths -> loss -> backward ->
+    update) so their bounds compose additively.  MXU rates: the controller
+    and spectral matmuls run DEFAULT/tensorfloat32 precision (bf16x3); the
+    MSS loss casts to bf16 (conf.loss_matmul_dtype); the oscillator kernel
+    contracts f32-HIGHEST (its accounting lives in osc_speed_of_light_s).
+    Backward matmul work is modeled as 2x forward (dgrad + wgrad).
+    """
+    t = conf.frames_per_example
+    length = conf.example_length
+
+    ctrl = 2 * 3 * controller_macs(b, t, conf) / MXU_F32_DEFAULT
+    gru_latency = 2 * t * GRU_STEP_LATENCY_S  # fwd + bwd scans
+    osc = osc_speed_of_light_s(
+        b, t, conf.hop_length, conf.n_harmonics, backward=True
+    )
+    noise = 2 * noise_fir_macs(b, t, conf, backward=True) / MXU_F32_DEFAULT
+    reverb = (
+        2 * reverb_conv_macs(b, length, conf.ir_length, backward=True)
+        / MXU_F32_DEFAULT
+    )
+    mss_rate = (
+        MXU_BF16 if conf.loss_matmul_dtype == "bfloat16" else MXU_F32_DEFAULT
+    )
+    mss = mss_flops(b, length, conf.mss_ffts, conf.mss_overlap, backward=True) / mss_rate
+    # Adam: read params/grads/m/v, write params/m/v -> 7 param-sized arrays.
+    adam = 7 * 4 * decoder_param_count(conf) / HBM_BYTES_PER_S
+    breakdown = {
+        "controller_mxu": ctrl,
+        "gru_serial_latency": gru_latency,
+        "oscillator_fill_contract": osc,
+        "noise_fir_mxu": noise,
+        "reverb_fft_mxu": reverb,
+        "mss_loss_mxu": mss,
+        "adam_hbm": adam,
+    }
+    return sum(breakdown.values()), breakdown

@@ -103,6 +103,36 @@ def test_multistream_matches_independent_streams(setup):
         )
 
 
+def test_multistream_large_slot_count_matches_independent_streams(setup):
+    """Per-slot bit-equivalence at a serving-scale slot count (round-3
+    VERDICT #1: the N=3 case alone doesn't certify the slot-index noise
+    keying and row-wise state at the capacities bench.py claims).  64
+    batched slots; a spread of slots (edges + interior) is checked against
+    its independent single-stream oracle."""
+    params, crepe = setup
+    key = jax.random.PRNGKey(9)
+    n, n_blocks = 64, 4
+    per_slot = [_blocks(n_blocks, seed=100 + i) for i in range(n)]
+
+    step = make_multistream_step(params, crepe, CONF, key)
+    state = multistream_init(CONF, n)
+    got = []
+    for j in range(n_blocks):
+        blocks = np.stack([per_slot[i][j] for i in range(n)])
+        out, state = step(state, jnp.asarray(blocks))
+        got.append(np.asarray(out))
+    got = np.stack(got, axis=1)  # (n, n_blocks, hop)
+
+    for i in (0, 1, 17, 40, 62, 63):
+        want, _ = _run_single(
+            params, crepe, jax.random.fold_in(key, i), per_slot[i]
+        )
+        np.testing.assert_allclose(
+            got[i], want, rtol=0, atol=1e-5,
+            err_msg=f"slot {i}/64 diverged from its independent stream",
+        )
+
+
 def test_multistream_flush_matches_single(setup):
     params, crepe = setup
     key = jax.random.PRNGKey(5)
