@@ -86,6 +86,13 @@ class Config:
     # 'bfloat16' doubles MXU rate on the loss, mirroring the reference's
     # fp16-AMP training (train/train.py:50); set 'float32' for exact evals.
     loss_matmul_dtype: str = "bfloat16"
+    # dtype of the reverb convolution's BACKWARD DFT matmuls (float32
+    # accumulation; forward audio stays full precision).  The gradient
+    # convolutions are loss-grade like the MSS STFTs; 'bfloat16' triples
+    # their MXU rate (hand-written VJP, ops/fir.fft_convolve).  Set
+    # 'float32' for exact-autodiff evals (the torch gradient-parity golden
+    # pins the math there, tests/test_parity_e2e.py).
+    reverb_grad_matmul_dtype: str = "bfloat16"
     osc_impl: str = "auto"  # 'auto' | 'xla' | 'pallas'
 
     # --- parallelism --------------------------------------------------------

@@ -133,11 +133,89 @@ def _layer(x: jnp.ndarray, p: Dict, stride: int, pad, compute_dtype=None) -> jnp
     )
 
 
-def crepe_embed(params: Dict, frames: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+def _layer_nlc(
+    x: jnp.ndarray, p: Dict, stride: int, pad, compute_dtype=None
+) -> jnp.ndarray:
+    """Channels-LAST variant of :func:`_layer`: (B, L, C) activations.
+
+    Feature-minor is the TPU's native layout -- the conv contracts
+    (k * C_in) onto the MXU without the layout transposes the NCH form
+    induces, bias/BN broadcast along the lane axis, and the maxpool is a
+    free reshape + max instead of a strided ``reduce_window``.  Bit-for-bit
+    the same math as :func:`_layer` (same conv, eps, pool); measured ~2x
+    encode throughput on the v5e (docs/PERFORMANCE.md round-4).
+    """
+    x = jnp.pad(x, ((0, 0), pad, (0, 0)))
+    w = jnp.transpose(p["weight"], (2, 1, 0))  # (O,I,k) -> (k,I,O) HIO
+    if compute_dtype is not None:
+        x, w = x.astype(compute_dtype), w.astype(compute_dtype)
+    x = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride,),
+        padding="VALID",
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=jnp.float32,
+    )
+    x = x + p["bias"]
+    x = jax.nn.relu(x)
+    bn = p["bn"]
+    scale = bn["weight"] * jax.lax.rsqrt(bn["var"] + BN_EPS)
+    x = (x - bn["mean"]) * scale + bn["bias"]
+    b, length, c = x.shape
+    return jnp.max(x.reshape(b, length // 2, 2, c), axis=2)
+
+
+def _first_layer_nlc_s2d(
+    frames: jnp.ndarray, p: Dict, compute_dtype=None
+) -> jnp.ndarray:
+    """Stage-1 conv via space-to-depth: (B, 1024) windows -> (B, 128, C1).
+
+    The C_in=1, 512-tap, stride-4 first conv gives the MXU almost nothing
+    to contract from in its natural form (round-3 VERDICT #5).  Folding the
+    stride into channels -- x[4m+r] -> S2D[m, r], kernel (512,) -> (128
+    taps, 4 channels) -- is numerically identical (out[i] = sum_{m,r}
+    S2D[i+m, r] w[4m+r]) and presents a k*C_in = 512-deep contraction at
+    stride 1, which XLA tiles far better.  BN/ReLU/pool as in _layer_nlc.
+    """
+    b = frames.shape[0]
+    pl, pr = PADS[0]
+    x = jnp.pad(frames, ((0, 0), (pl, pr)))  # (B, 1532)
+    x = x.reshape(b, -1, 4)  # (B, 383, 4): S2D[m, r] = x[4m + r]
+    w = p["weight"][..., 0, :]  # (O, k=512)
+    w = jnp.transpose(w.reshape(-1, 128, 4), (1, 2, 0))  # (128, 4, O) HIO
+    if compute_dtype is not None:
+        x, w = x.astype(compute_dtype), w.astype(compute_dtype)
+    x = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=jnp.float32,
+    )  # (B, 256, O)
+    x = jax.nn.relu(x + p["bias"])
+    bn = p["bn"]
+    scale = bn["weight"] * jax.lax.rsqrt(bn["var"] + BN_EPS)
+    x = (x - bn["mean"]) * scale + bn["bias"]
+    b, length, c = x.shape
+    return jnp.max(x.reshape(b, length // 2, 2, c), axis=2)
+
+
+def crepe_embed(
+    params: Dict, frames: jnp.ndarray, compute_dtype=None, layout: str = "nlc"
+) -> jnp.ndarray:
     """First five conv stages: (B, 1024) audio windows -> (B, C5, 8) features.
 
-    Matches reference ``Crepe.embed`` (crepe/crepe.py:108-120).
+    Matches reference ``Crepe.embed`` (crepe/crepe.py:108-120).  ``layout``:
+    'nlc' runs the stack channels-last with the space-to-depth first conv
+    (TPU-native, same math); 'nch' keeps the torch-shaped path.
     """
+    if layout == "nlc":
+        x = _first_layer_nlc_s2d(frames, params["layers"][0], compute_dtype)
+        for i in range(1, 5):
+            x = _layer_nlc(x, params["layers"][i], STRIDES[i], PADS[i], compute_dtype)
+        return jnp.moveaxis(x, 1, 2)  # (B, C5, 8) -- keep the public contract
     x = frames[:, None, :]  # (B, 1, 1024)
     for i in range(5):
         x = _layer(x, params["layers"][i], STRIDES[i], PADS[i], compute_dtype)
@@ -149,20 +227,32 @@ def crepe_forward(
     frames: jnp.ndarray,
     embed: bool = False,
     compute_dtype=None,
+    layout: str = "nlc",
 ) -> jnp.ndarray:
     """(B, 1024) windows -> (B, 360) sigmoid pitch-bin probabilities.
 
     Matches reference ``Crepe.forward`` (crepe/crepe.py:90-104), including the
     h-major flatten order of the final (B, C, H) feature map.
     ``compute_dtype``: see :func:`_layer` (config field
-    ``crepe_compute_dtype``).
+    ``crepe_compute_dtype``).  ``layout``: 'nlc' (TPU-native channels-last,
+    default) or 'nch' (torch-shaped); same math either way, h-major flatten
+    is the NLC form's natural reshape.
     """
-    x = crepe_embed(params, frames, compute_dtype)
-    if embed:
-        return x
-    x = _layer(x, params["layers"][5], STRIDES[5], PADS[5], compute_dtype)
-    b, c, h = x.shape
-    x = jnp.moveaxis(x, 1, 2).reshape(b, h * c)  # h-major like torch permute
+    if layout == "nlc":
+        x = _first_layer_nlc_s2d(frames, params["layers"][0], compute_dtype)
+        for i in range(1, 6 if not embed else 5):
+            x = _layer_nlc(x, params["layers"][i], STRIDES[i], PADS[i], compute_dtype)
+        if embed:
+            return jnp.moveaxis(x, 1, 2)
+        b, h, c = x.shape
+        x = x.reshape(b, h * c)  # h-major == torch permute(0,2,1).flatten
+    else:
+        x = crepe_embed(params, frames, compute_dtype, layout="nch")
+        if embed:
+            return x
+        x = _layer(x, params["layers"][5], STRIDES[5], PADS[5], compute_dtype)
+        b, c, h = x.shape
+        x = jnp.moveaxis(x, 1, 2).reshape(b, h * c)  # h-major like torch
     cw = params["classifier"]["weight"]
     if compute_dtype is not None:
         x, cw = x.astype(compute_dtype), cw.astype(compute_dtype)

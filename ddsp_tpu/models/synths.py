@@ -138,9 +138,20 @@ def reverb_impulse(params: dict, conf: Config) -> jnp.ndarray:
 
 
 def reverb_apply(params: dict, x: jnp.ndarray, conf: Config) -> jnp.ndarray:
-    """Convolve (B, L) audio with the learned IR (reference reverb.py:31-38)."""
+    """Convolve (B, L) audio with the learned IR (reference reverb.py:31-38).
+
+    The forward convolution runs at full DFT precision; under training the
+    backward convolutions run at ``conf.reverb_grad_matmul_dtype`` (default
+    bf16 inputs / f32 accumulation -- loss-grade gradients, 3x MXU rate;
+    see ops/fir.fft_convolve).
+    """
     impulse = reverb_impulse(params, conf)
-    return fft_convolve(x, impulse[None, :], kernel_len=impulse.shape[-1])
+    return fft_convolve(
+        x,
+        impulse[None, :],
+        kernel_len=impulse.shape[-1],
+        grad_matmul_dtype=getattr(conf, "reverb_grad_matmul_dtype", None),
+    )
 
 
 class ReverbLiveState(NamedTuple):

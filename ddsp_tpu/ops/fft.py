@@ -221,10 +221,13 @@ def rfft_pair(x: jnp.ndarray, n: Optional[int] = None, matmul_dtype=None):
     """
     n = n or x.shape[-1]
     if n <= DIRECT_MAX:
-        if x.shape[-1] < n:
-            pad = [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])]
-            x = jnp.pad(x, pad)
         cos, sin = _rdft_mats(n)
+        if x.shape[-1] < n:
+            # Zero-padding the input would spend half the matmul on zeros
+            # (e.g. the noise FIR transforms 512-sample blocks at n=1024);
+            # slicing the DFT matrix rows is the same contraction without
+            # the dead MACs.
+            cos, sin = cos[: x.shape[-1]], sin[: x.shape[-1]]
         cos, sin = jnp.asarray(cos), jnp.asarray(sin)
         if matmul_dtype is not None:
             x = x.astype(matmul_dtype)
@@ -243,6 +246,7 @@ def irfft_pair(
     im: jnp.ndarray,
     n: Optional[int] = None,
     out_len: Optional[int] = None,
+    matmul_dtype=None,
 ):
     """Inverse of rfft_pair: (..., n//2+1) spectra -> (..., n) real signal.
 
@@ -258,7 +262,15 @@ def irfft_pair(
         mr, mi = _irdft_mats(n_bins, n)
         if out_len is not None and out_len < n:
             mr, mi = mr[:, :out_len], mi[:, :out_len]
-        return _mm(re, jnp.asarray(mr)) + _mm(im, jnp.asarray(mi))
+        mr, mi = jnp.asarray(mr), jnp.asarray(mi)
+        if matmul_dtype is not None:
+            re, im = re.astype(matmul_dtype), im.astype(matmul_dtype)
+            mr, mi = mr.astype(matmul_dtype), mi.astype(matmul_dtype)
+            mm = functools.partial(
+                jnp.matmul, preferred_element_type=jnp.float32
+            )
+            return mm(re, mr) + mm(im, mi)
+        return _mm(re, mr) + _mm(im, mi)
     # Large size: hermitian-extend and run a forward CT FFT with conjugation:
     # ifft(X) = conj(fft(conj(X))) / n; output is real by construction.
     assert n == 2 * (n_bins - 1), "large irfft requires full-bin spectra"
@@ -266,7 +278,7 @@ def irfft_pair(
     tail_i = im[..., 1:-1][..., ::-1]
     full_r = jnp.concatenate([re, tail_r], axis=-1)
     full_i = jnp.concatenate([im, -tail_i], axis=-1)
-    yr, yi = _fft_ct(full_r, -full_i, n)
+    yr, yi = _fft_ct(full_r, -full_i, n, matmul_dtype)
     del yi  # imaginary residue is numerical noise for hermitian inputs
     out = yr / n
     if out_len is not None and out_len < n:
@@ -280,7 +292,11 @@ def _reverse_spectrum(a: jnp.ndarray) -> jnp.ndarray:
 
 
 def _rfft_convolve_large_packed(
-    signal: jnp.ndarray, kernel: jnp.ndarray, kernel_len: int, n: int
+    signal: jnp.ndarray,
+    kernel: jnp.ndarray,
+    kernel_len: int,
+    n: int,
+    matmul_dtype=None,
 ) -> jnp.ndarray:
     """Large-n convolution of an even batch of real signals, packed in pairs.
 
@@ -295,14 +311,14 @@ def _rfft_convolve_large_packed(
     b = signal.shape[0]
     ev, od = signal[0::2], signal[1::2]
     pad = [(0, 0), (0, n - length)]
-    zr, zi = _fft_ct(jnp.pad(ev, pad), jnp.pad(od, pad), n)  # (B/2, n)
+    zr, zi = _fft_ct(jnp.pad(ev, pad), jnp.pad(od, pad), n, matmul_dtype)
     zr_rev, zi_rev = _reverse_spectrum(zr), _reverse_spectrum(zi)
     x1r = 0.5 * (zr + zr_rev)
     x1i = 0.5 * (zi - zi_rev)
     x2r = 0.5 * (zi + zi_rev)
     x2i = 0.5 * (zr_rev - zr)
 
-    kr, ki = fft_pair(kernel[..., :kernel_len], None, n)  # (1 or B, n)
+    kr, ki = fft_pair(kernel[..., :kernel_len], None, n, matmul_dtype)
     if kernel.shape[0] == 1:
         kr_e = kr_o = kr
         ki_e = ki_o = ki
@@ -317,7 +333,7 @@ def _rfft_convolve_large_packed(
     # repack W = Y1 + j*Y2 and invert: ifft(W) = conj(fft(conj(W))) / n
     wr = y1r - y2i
     wi = y1i + y2r
-    ur, ui = _fft_ct(wr, -wi, n)
+    ur, ui = _fft_ct(wr, -wi, n, matmul_dtype)
     y_ev = ur * (1.0 / n)
     y_od = ui * (-1.0 / n)
     out = jnp.stack([y_ev, y_od], axis=1).reshape(b, n)
@@ -352,7 +368,11 @@ def _overlap_save_plan(length: int, kernel_len: int, max_chunks: int = 6):
 
 
 def _rfft_convolve_overlap_save(
-    signal: jnp.ndarray, kernel: jnp.ndarray, kernel_len: int, k: int
+    signal: jnp.ndarray,
+    kernel: jnp.ndarray,
+    kernel_len: int,
+    k: int,
+    matmul_dtype=None,
 ) -> jnp.ndarray:
     """Overlap-save chunked causal convolution (shared kernel, 2-D batch)."""
     b, length = signal.shape
@@ -368,16 +388,25 @@ def _rfft_convolve_overlap_save(
         [padded[:, i * c : i * c + m] for i in range(k)], axis=1
     ).reshape(b * k, m)
     if (b * k) % 2 == 0:
-        conv = _rfft_convolve_large_packed(blocks, kernel, kernel_len, m)
+        conv = _rfft_convolve_large_packed(
+            blocks, kernel, kernel_len, m, matmul_dtype
+        )
     else:
-        sr, si = rfft_pair(blocks, m)
-        kr, ki = rfft_pair(kernel[..., :kernel_len], m)
-        conv = irfft_pair(sr * kr - si * ki, sr * ki + si * kr, m)
+        sr, si = rfft_pair(blocks, m, matmul_dtype)
+        kr, ki = rfft_pair(kernel[..., :kernel_len], m, matmul_dtype)
+        conv = irfft_pair(
+            sr * kr - si * ki, sr * ki + si * kr, m, matmul_dtype=matmul_dtype
+        )
     valid = conv[:, halo : halo + c].reshape(b, k * c)
     return valid[:, :length]
 
 
-def rfft_convolve_same(signal: jnp.ndarray, kernel: jnp.ndarray, kernel_len: int):
+def rfft_convolve_same(
+    signal: jnp.ndarray,
+    kernel: jnp.ndarray,
+    kernel_len: int,
+    matmul_dtype=None,
+):
     """Causal linear convolution truncated to the signal length.
 
     ``out[t] = sum_{k<=t, k<kernel_len} kernel[k] * signal[t-k]``
@@ -399,7 +428,9 @@ def rfft_convolve_same(signal: jnp.ndarray, kernel: jnp.ndarray, kernel_len: int
     ):
         k = _overlap_save_plan(length, kernel_len)
         if k > 1:
-            return _rfft_convolve_overlap_save(signal, kernel, kernel_len, k)
+            return _rfft_convolve_overlap_save(
+                signal, kernel, kernel_len, k, matmul_dtype
+            )
     if (
         n > DIRECT_MAX
         and signal.ndim == 2
@@ -407,9 +438,11 @@ def rfft_convolve_same(signal: jnp.ndarray, kernel: jnp.ndarray, kernel_len: int
         and kernel.ndim == 2
         and kernel.shape[0] in (1, signal.shape[0])
     ):
-        return _rfft_convolve_large_packed(signal, kernel, kernel_len, n)
-    sr, si = rfft_pair(signal, n)
-    kr, ki = rfft_pair(kernel[..., :kernel_len], n)
+        return _rfft_convolve_large_packed(
+            signal, kernel, kernel_len, n, matmul_dtype
+        )
+    sr, si = rfft_pair(signal, n, matmul_dtype)
+    kr, ki = rfft_pair(kernel[..., :kernel_len], n, matmul_dtype)
     yr = sr * kr - si * ki
     yi = sr * ki + si * kr
-    return irfft_pair(yr, yi, n, out_len=length)
+    return irfft_pair(yr, yi, n, out_len=length, matmul_dtype=matmul_dtype)

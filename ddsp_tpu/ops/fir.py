@@ -61,7 +61,10 @@ def amp_to_impulse_response(amp: jnp.ndarray, target_size: int) -> jnp.ndarray:
 
 
 def fft_convolve(
-    signal: jnp.ndarray, kernel: jnp.ndarray, kernel_len: int = None
+    signal: jnp.ndarray,
+    kernel: jnp.ndarray,
+    kernel_len: int = None,
+    grad_matmul_dtype: str = None,
 ) -> jnp.ndarray:
     """Causal linear convolution via FFT, reference pad/crop alignment.
 
@@ -73,10 +76,73 @@ def fft_convolve(
     ``kernel_len`` optionally declares the true (nonzero) kernel support so
     the FFT size can shrink (e.g. the reverb IR is 1 s but zero-padded to the
     signal length by the caller).
+
+    ``grad_matmul_dtype`` (e.g. 'bfloat16'): run the BACKWARD pass's DFT
+    matmuls with inputs cast to that dtype (float32 accumulation) through a
+    hand-written VJP, while the forward convolution keeps full precision.
+    Gradients tolerate the ~1e-3 relative noise (the MSS loss STFTs already
+    run bf16 end-to-end, and the reference trains under fp16 AMP,
+    train/train.py:50); on the v5e this triples the MXU rate of the
+    reverb-scale backward convolutions (docs/PERFORMANCE.md round-4).
+    Requires 2-D (B, L) operands with a shared or per-row 1-D kernel
+    batch; unsupported shapes fall back to autodiff at full precision.
     """
-    return rfft_convolve_same(
-        signal, kernel, kernel_len or kernel.shape[-1]
-    )
+    kernel_len = kernel_len or kernel.shape[-1]
+    if (
+        grad_matmul_dtype is not None
+        and grad_matmul_dtype != "float32"
+        and signal.ndim == 2
+        and kernel.ndim == 2
+    ):
+        return _fft_convolve_fastgrad(
+            signal, kernel, kernel_len, grad_matmul_dtype
+        )
+    return rfft_convolve_same(signal, kernel, kernel_len)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _fft_convolve_fastgrad(signal, kernel, kernel_len, grad_matmul_dtype):
+    return rfft_convolve_same(signal, kernel, kernel_len)
+
+
+def _fft_convolve_fastgrad_fwd(signal, kernel, kernel_len, grad_matmul_dtype):
+    return rfft_convolve_same(signal, kernel, kernel_len), (signal, kernel)
+
+
+def _fft_convolve_fastgrad_bwd(kernel_len, grad_matmul_dtype, res, g):
+    """Reduced-precision backward of the causal truncated convolution.
+
+    With y[t] = sum_{k <= t, k < K} h[k] x[t-k] (t < L):
+
+    * d/dx is the correlation  dx[t] = sum_k h[k] g[t+k]  -- computed as a
+      causal convolution of the time-reversed cotangent with the kernel:
+      dx = reverse(conv(reverse(g), h))  (the truncation at L maps exactly
+      onto the t+k < L support).
+    * d/dh is the correlation  dh[k] = sum_u x[u] g[u+k], k < K -- the tail
+      of conv(reverse(g), x) read backwards, summed over the batch when the
+      kernel row is shared (the reverb's (1, ir) learned IR).
+    """
+    dtype = jnp.dtype(grad_matmul_dtype)
+    signal, kernel = res
+    length = signal.shape[-1]
+    g = g.astype(jnp.float32)
+    gr = g[:, ::-1]
+    dx = rfft_convolve_same(gr, kernel, kernel_len, matmul_dtype=dtype)[:, ::-1]
+    # dh[b, k] = conv(gr_b, x_b)[L-1-k] for k < kernel_len (zero for k >= L:
+    # no output sample sees those taps).
+    k_eff = min(kernel_len, length)
+    c = rfft_convolve_same(gr, signal, length, matmul_dtype=dtype)
+    dk = c[:, length - k_eff : length][:, ::-1]
+    if kernel.shape[0] == 1:
+        dk = jnp.sum(dk, axis=0, keepdims=True)
+    if k_eff < kernel.shape[-1]:
+        dk = jnp.pad(dk, ((0, 0), (0, kernel.shape[-1] - k_eff)))
+    return dx, dk
+
+
+_fft_convolve_fastgrad.defvjp(
+    _fft_convolve_fastgrad_fwd, _fft_convolve_fastgrad_bwd
+)
 
 
 def frame_noise(

@@ -56,6 +56,9 @@ CONF_KWARGS = dict(
     reverb_length=512,
     mss_ffts=(256, 128),
     batch_size=8,
+    # Sharded reverb backward is exact autodiff; pin the single-process
+    # oracle to the same precision (production default is bf16 gradients).
+    reverb_grad_matmul_dtype="float32",
 )
 GLOBAL_BATCH = 8
 NUM_STEPS = 3

@@ -34,6 +34,10 @@ CONF = Config(
     reverb_length=512,
     mss_ffts=(256, 128),
     batch_size=8,
+    # The sharded (halo-exchange) reverb keeps an exact-autodiff backward;
+    # pin the single-device reference to f32 gradients so the equality
+    # checks compare mesh algebra, not the production bf16-grad default.
+    reverb_grad_matmul_dtype="float32",
 )
 
 

@@ -43,6 +43,9 @@ CONF = Config(
     mss_ffts=(256, 128),
     batch_size=4,
     osc_impl="pallas",
+    # Sharded reverb backward is exact autodiff; keep the single-device
+    # reference at f32 gradients for the equality checks.
+    reverb_grad_matmul_dtype="float32",
 )
 
 

@@ -118,3 +118,84 @@ def test_noise_streaming_equals_offline():
     np.testing.assert_allclose(
         full, np.concatenate(parts, axis=1), atol=1e-6
     )
+
+
+def _fastgrad_setup(length=3000, klen=1200, b=2, seed=11):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((b, length)).astype(np.float32))
+    h = jnp.asarray(rng.standard_normal((1, klen)).astype(np.float32) * 0.1)
+    return x, h, klen
+
+
+def test_fft_convolve_fastgrad_forward_identical():
+    """The custom-VJP wrapper must not change the forward at all."""
+    from ddsp_tpu.ops.fir import fft_convolve
+
+    x, h, klen = _fastgrad_setup()
+    base = np.asarray(fft_convolve(x, h, klen))
+    fast = np.asarray(fft_convolve(x, h, klen, grad_matmul_dtype="bfloat16"))
+    np.testing.assert_array_equal(base, fast)
+
+
+def test_fft_convolve_custom_vjp_matches_autodiff():
+    """Hand-written correlation backward == autodiff at equal precision.
+
+    Runs the custom VJP with float32 grad matmuls so the only difference
+    from autodiff is the algorithm (reversed-cotangent convolutions vs
+    transposed DFT matmuls); they must agree to float32 rounding.
+    """
+    from ddsp_tpu.ops.fir import _fft_convolve_fastgrad, fft_convolve
+
+    x, h, klen = _fastgrad_setup()
+
+    def loss_ref(x, h):
+        y = fft_convolve(x, h, klen)
+        return jnp.sum(jnp.sin(3.0 * y) * y)
+
+    def loss_fast(x, h):
+        y = _fft_convolve_fastgrad(x, h, klen, "float32")
+        return jnp.sum(jnp.sin(3.0 * y) * y)
+
+    gx_ref, gh_ref = jax.grad(loss_ref, argnums=(0, 1))(x, h)
+    gx, gh = jax.grad(loss_fast, argnums=(0, 1))(x, h)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gh), np.asarray(gh_ref), rtol=2e-4, atol=2e-4)
+
+
+def test_reverb_bf16_backward_close_to_f32():
+    """Default bf16 reverb backward: loss-grade gradients, aligned with the
+    exact-autodiff direction (cos > 0.999, rel error ~1e-2)."""
+    from ddsp_tpu.models.synths import reverb_apply, reverb_init
+
+    conf32 = CONF.replace(reverb_grad_matmul_dtype="float32")
+    confbf = CONF.replace(reverb_grad_matmul_dtype="bfloat16")
+    assert Config().reverb_grad_matmul_dtype == "bfloat16"  # production default
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 8192)).astype(np.float32) * 0.3)
+    params = reverb_init(jax.random.PRNGKey(0), CONF)
+
+    def make_loss(conf):
+        def loss(p, x):
+            y = reverb_apply(p, x, conf)
+            return jnp.mean(y * y)
+
+        return loss
+
+    gp32, gx32 = jax.grad(make_loss(conf32), argnums=(0, 1))(params, x)
+    gpbf, gxbf = jax.grad(make_loss(confbf), argnums=(0, 1))(params, x)
+
+    def check(a, b, name):
+        a = np.asarray(a, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        nb = np.linalg.norm(b)
+        assert nb > 0, name
+        cos = float(np.dot(a, b) / (np.linalg.norm(a) * nb))
+        rel = float(np.linalg.norm(a - b) / nb)
+        assert cos > 0.999, (name, cos)
+        assert rel < 5e-2, (name, rel)
+
+    check(gxbf, gx32, "d/dsignal")
+    check(gpbf["noise"], gp32["noise"], "d/dnoise")
+    check(gpbf["decay"], gp32["decay"], "d/ddecay")
+    check(gpbf["wet"], gp32["wet"], "d/dwet")
