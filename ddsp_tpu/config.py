@@ -38,6 +38,10 @@ class Config:
     # ~1e-3).  Default f32 preserves 1e-4-level golden parity with the
     # torch reference.
     crepe_compute_dtype: str = "float32"
+    # CREPE conv-stack layout: 'nlc' (channels-last + space-to-depth first
+    # conv -- TPU-native, ~2x encode throughput, same math) or 'nch'
+    # (torch-shaped reference form).  See models/crepe._layer_nlc.
+    crepe_layout: str = "nlc"
     # Pitch decode: 'argmax' (reference training path, encoder.py:120-128),
     # 'weighted' (intent-corrected local weighted average), or
     # 'centered_ref' (bug-compatible replica of the reference's
@@ -87,12 +91,14 @@ class Config:
     # fp16-AMP training (train/train.py:50); set 'float32' for exact evals.
     loss_matmul_dtype: str = "bfloat16"
     # dtype of the reverb convolution's BACKWARD DFT matmuls (float32
-    # accumulation; forward audio stays full precision).  The gradient
-    # convolutions are loss-grade like the MSS STFTs; 'bfloat16' triples
-    # their MXU rate (hand-written VJP, ops/fir.fft_convolve).  Set
-    # 'float32' for exact-autodiff evals (the torch gradient-parity golden
-    # pins the math there, tests/test_parity_e2e.py).
-    reverb_grad_matmul_dtype: str = "bfloat16"
+    # accumulation; forward audio stays full precision) via the
+    # hand-written transpose VJP in ops/fir.fft_convolve.  Measured on the
+    # v5e (scripts/profile_reverb_grad.py, round 4): bf16 does NOT beat
+    # f32 autodiff (1.71 vs 1.63 ms fwd+bwd) -- the Cooley-Tukey FFT's
+    # twiddle/data-movement work, not matmul passes, bounds the backward —
+    # so the default stays exact.  Kept as an option for future hardware
+    # where the matmul passes dominate.
+    reverb_grad_matmul_dtype: str = "float32"
     osc_impl: str = "auto"  # 'auto' | 'xla' | 'pallas'
 
     # --- parallelism --------------------------------------------------------

@@ -95,7 +95,10 @@ def f0_encoder_apply(
         else jnp.dtype(conf.crepe_compute_dtype)
     )
     probs = crepe_forward(
-        crepe_params, frames.reshape(b * t, w), compute_dtype=cdtype
+        crepe_params,
+        frames.reshape(b * t, w),
+        compute_dtype=cdtype,
+        layout=getattr(conf, "crepe_layout", "nlc"),
     )
     probs = probs.reshape(b, t, -1)
 

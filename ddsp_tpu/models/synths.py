@@ -140,10 +140,11 @@ def reverb_impulse(params: dict, conf: Config) -> jnp.ndarray:
 def reverb_apply(params: dict, x: jnp.ndarray, conf: Config) -> jnp.ndarray:
     """Convolve (B, L) audio with the learned IR (reference reverb.py:31-38).
 
-    The forward convolution runs at full DFT precision; under training the
-    backward convolutions run at ``conf.reverb_grad_matmul_dtype`` (default
-    bf16 inputs / f32 accumulation -- loss-grade gradients, 3x MXU rate;
-    see ops/fir.fft_convolve).
+    The forward convolution runs at full DFT precision; the backward
+    convolutions run at ``conf.reverb_grad_matmul_dtype`` through the
+    transpose VJP in ops/fir.fft_convolve (default float32 == exact
+    autodiff; bf16 was measured NOT to help -- the CT FFT's twiddle and
+    data-movement work bounds the backward, docs/PERFORMANCE.md round 4).
     """
     impulse = reverb_impulse(params, conf)
     return fft_convolve(

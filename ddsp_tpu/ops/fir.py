@@ -112,31 +112,25 @@ def _fft_convolve_fastgrad_fwd(signal, kernel, kernel_len, grad_matmul_dtype):
 def _fft_convolve_fastgrad_bwd(kernel_len, grad_matmul_dtype, res, g):
     """Reduced-precision backward of the causal truncated convolution.
 
-    With y[t] = sum_{k <= t, k < K} h[k] x[t-k] (t < L):
-
-    * d/dx is the correlation  dx[t] = sum_k h[k] g[t+k]  -- computed as a
-      causal convolution of the time-reversed cotangent with the kernel:
-      dx = reverse(conv(reverse(g), h))  (the truncation at L maps exactly
-      onto the t+k < L support).
-    * d/dh is the correlation  dh[k] = sum_u x[u] g[u+k], k < K -- the tail
-      of conv(reverse(g), x) read backwards, summed over the batch when the
-      kernel row is shared (the reverb's (1, ir) learned IR).
+    The convolution is bilinear, so each gradient is the TRANSPOSE of the
+    forward map with the other operand held fixed -- taken of the
+    ``matmul_dtype``-cast forward, so every transposed DFT matmul runs at
+    the reduced-precision MXU rate while keeping the exact autodiff
+    structure (the kernel branch stays a single FFT row; an explicit
+    correlation form was measured 2x slower because its d/dkernel needs a
+    2L-point convolution, docs/PERFORMANCE.md round-4).
     """
     dtype = jnp.dtype(grad_matmul_dtype)
     signal, kernel = res
-    length = signal.shape[-1]
     g = g.astype(jnp.float32)
-    gr = g[:, ::-1]
-    dx = rfft_convolve_same(gr, kernel, kernel_len, matmul_dtype=dtype)[:, ::-1]
-    # dh[b, k] = conv(gr_b, x_b)[L-1-k] for k < kernel_len (zero for k >= L:
-    # no output sample sees those taps).
-    k_eff = min(kernel_len, length)
-    c = rfft_convolve_same(gr, signal, length, matmul_dtype=dtype)
-    dk = c[:, length - k_eff : length][:, ::-1]
-    if kernel.shape[0] == 1:
-        dk = jnp.sum(dk, axis=0, keepdims=True)
-    if k_eff < kernel.shape[-1]:
-        dk = jnp.pad(dk, ((0, 0), (0, kernel.shape[-1] - k_eff)))
+    (dx,) = jax.linear_transpose(
+        lambda s: rfft_convolve_same(s, kernel, kernel_len, matmul_dtype=dtype),
+        signal,
+    )(g)
+    (dk,) = jax.linear_transpose(
+        lambda k: rfft_convolve_same(signal, k, kernel_len, matmul_dtype=dtype),
+        kernel,
+    )(g)
     return dx, dk
 
 

@@ -191,6 +191,9 @@ def _kernel_banked2(
     def fill_rows(g0, g1):
         if fill == "rot":
             _fill_sine_banks_cat_range(sin_ref, None, x, h0, g0, g1)
+        elif fill == "rot4":
+            assert (g0, g1) == (0, hb // 8), "rot4 fill is whole-bank only"
+            _fill_sine_banks_rot_logdepth(sin_ref, None, x, hb, h0, span=4)
         else:
             _fill_sine_banks_cheb8(
                 sin_ref, None, x, hb, h0, resync_tiles, g0, g1
@@ -258,6 +261,57 @@ def _fill_sine_banks_cat_range(sin_ref, cos_ref, x, h0, g0, g1):
         sin_ref[8 * g : 8 * (g + 1), :] = s_t.astype(bank_dtype)
         if cos_ref is not None:
             cos_ref[8 * g : 8 * (g + 1), :] = c_t.astype(bank_dtype)
+
+
+def _fill_sine_banks_rot_logdepth(sin_ref, cos_ref, x, hb, h0=0.0, span=4):
+    """Rotation fill with BATCHED exact re-seeds every ``span`` tiles.
+
+    The plain rotation chain (_fill_sine_banks_cat) advances 8 harmonics
+    per step through hb/8 serially dependent full-tile rotations.  Here
+    every span-th tile is seeded exactly, with ALL seeds evaluated in one
+    tall (8*nseed, L) split-precision transcendental pass, and rotations
+    only run within each span: the dependency depth drops from hb/8 to
+    ``span`` and the per-span chains are independent (round-3 VERDICT
+    stretch: log-depth / batched parallel re-seeds).  Costs more raw ops
+    (nseed exact seeds instead of one) but exposes ILP the linear chain
+    cannot; adopted only if the sweep measures it faster.  Accuracy is
+    strictly better than the linear chain: rotation drift is bounded by
+    ``span`` ulp instead of hb/8 ulp.
+    """
+    length = x.shape[-1]
+    hi_p = jnp.floor(x * QUANT) * (1.0 / QUANT)
+    lo_p = x - hi_p
+    groups = hb // 8
+    nseed = -(-groups // span)
+
+    def exact(hv):
+        coarse = hi_p * hv
+        coarse = coarse - jnp.floor(coarse)
+        frac = coarse + lo_p * hv
+        frac = frac - jnp.floor(frac)
+        a = TWO_PI * frac
+        return jnp.sin(a), jnp.cos(a)
+
+    r = jax.lax.broadcasted_iota(jnp.int32, (8 * nseed, length), 0)
+    hv = ((r // 8) * (8 * span) + (r % 8)).astype(jnp.float32) + (
+        1.0 + jnp.asarray(h0, jnp.float32)
+    )
+    s_big, c_big = exact(hv)  # one transcendental pass for every seed tile
+    s8, c8 = exact(jnp.full((1, length), 8.0))
+
+    bank_dtype = sin_ref.dtype
+    for s in range(nseed):
+        s_t = s_big[8 * s : 8 * s + 8, :]
+        c_t = c_big[8 * s : 8 * s + 8, :]
+        for j in range(span):
+            g = s * span + j
+            if g >= groups:
+                break
+            if j > 0:
+                s_t, c_t = s_t * c8 + c_t * s8, c_t * c8 - s_t * s8
+            sin_ref[8 * g : 8 * (g + 1), :] = s_t.astype(bank_dtype)
+            if cos_ref is not None:
+                cos_ref[8 * g : 8 * (g + 1), :] = c_t.astype(bank_dtype)
 
 
 def _kernel_cheb(
@@ -747,6 +801,8 @@ def _kernel_banked2_bwd(
     h0 = h0_ref[0, 0]
     if fill == "rot":
         _fill_sine_banks_cat_range(sin_ref, cos_ref, x, h0, 0, hb // 8)
+    elif fill == "rot4":
+        _fill_sine_banks_rot_logdepth(sin_ref, cos_ref, x, hb, h0, span=4)
     else:
         _fill_sine_banks_cheb8(sin_ref, cos_ref, x, hb, h0, resync_tiles)
 

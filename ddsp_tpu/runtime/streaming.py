@@ -197,7 +197,11 @@ def make_feature_stream_step(crepe_params: Dict, conf: Config):
         window = rs[:, -conf.crepe_window :]
         mean = jnp.mean(window, axis=-1, keepdims=True)
         std = jnp.std(window, axis=-1, keepdims=True, ddof=1) + 1e-8
-        probs = crepe_forward(crepe_params, (window - mean) / std)
+        probs = crepe_forward(
+            crepe_params,
+            (window - mean) / std,
+            layout=getattr(conf, "crepe_layout", "nlc"),
+        )
         freq, harmonicity, normalized_cents = pitch_argmax(probs[:, None, :])
         frame = {
             "f0": freq,

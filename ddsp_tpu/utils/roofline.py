@@ -216,32 +216,52 @@ def noise_fir_macs(b: int, t: int, conf, backward: bool = True) -> int:
     return b * t * per_frame
 
 
+def _fft_row_macs(m: int) -> int:
+    """Real MACs of one complex m-point matmul FFT row (4*m*(n1+n2) for
+    the Cooley-Tukey split, 4*m*m direct)."""
+    from ddsp_tpu.ops.fft import DIRECT_MAX, _split_factors
+
+    if m <= DIRECT_MAX:
+        return 4 * m * m
+    n1, n2 = _split_factors(m)
+    return 4 * m * (n1 + n2)
+
+
 def reverb_conv_macs(b: int, length: int, ir_len: int, backward: bool = True) -> int:
     """MACs of the offline reverb convolution as actually planned by
     ops/fft.rfft_convolve_same: overlap-save chunking + packed-pair complex
-    Cooley-Tukey FFTs.  Complex FFT row of size m costs 4*m*(n1+n2) real
-    MACs (two complex matmul stages); backward is ~2 more convolutions of
-    the same class (d/dsignal correlation + d/dkernel correlation)."""
-    from ddsp_tpu.ops.fft import (
-        DIRECT_MAX,
-        _overlap_save_plan,
-        _split_factors,
-        next_fft_size,
-    )
+    Cooley-Tukey FFTs.  Backward ~2 more convolutions of the same class
+    (the aggregate count; :func:`reverb_bound_s` splits the backward for
+    mixed-precision accounting)."""
+    from ddsp_tpu.ops.fft import _overlap_save_plan, next_fft_size
 
     k = _overlap_save_plan(length, ir_len)
     c = -(-length // k)
-    m = next_fft_size(c + ir_len - 1)
-    if m <= DIRECT_MAX:
-        row = 4 * m * m
-    else:
-        n1, n2 = _split_factors(m)
-        row = 4 * m * (n1 + n2)
+    row = _fft_row_macs(next_fft_size(c + ir_len - 1))
     rows_fwd = b * k // 2  # packed pairs
     rows_inv = b * k // 2
     kernel_row = 1
     one_conv = (rows_fwd + rows_inv + kernel_row) * row
     return one_conv * (3 if backward else 1)
+
+
+def reverb_bound_s(conf, b: int, length: int) -> float:
+    """Speed-of-light seconds for the reverb fwd+bwd at its shipped
+    precisions: forward at the DFT layer's DEFAULT-f32 rate; the two
+    backward correlations (hand-written VJP, ops/fir.fft_convolve) at
+    ``conf.reverb_grad_matmul_dtype`` (bf16 default = full MXU rate).
+    Each backward is the linear transpose of the forward with the other
+    operand fixed, so d/dsignal and d/dkernel each cost ~one forward
+    convolution class (the d/dkernel transpose recomputes the signal
+    spectra but keeps the kernel branch a single FFT row)."""
+    ir_len = conf.ir_length
+    fwd = reverb_conv_macs(b, length, ir_len, backward=False)
+    bwd_rate = (
+        MXU_BF16
+        if getattr(conf, "reverb_grad_matmul_dtype", None) == "bfloat16"
+        else MXU_F32_DEFAULT
+    )
+    return 2 * fwd / MXU_F32_DEFAULT + 2 * (fwd + fwd) / bwd_rate
 
 
 def train_step_bound_s(conf, b: int):
@@ -267,10 +287,7 @@ def train_step_bound_s(conf, b: int):
         b, t, conf.hop_length, conf.n_harmonics, backward=True
     )
     noise = 2 * noise_fir_macs(b, t, conf, backward=True) / MXU_F32_DEFAULT
-    reverb = (
-        2 * reverb_conv_macs(b, length, conf.ir_length, backward=True)
-        / MXU_F32_DEFAULT
-    )
+    reverb = reverb_bound_s(conf, b, length)
     mss_rate = (
         MXU_BF16 if conf.loss_matmul_dtype == "bfloat16" else MXU_F32_DEFAULT
     )

@@ -104,6 +104,8 @@ def main():
         ("banked2 rot fpb8 DEFAULT", 8,
          dict(impl="banked2", fill="rot",
               precision="__DEFAULT__")),
+        ("banked2 rot4 fpb16", 16, dict(impl="banked2", fill="rot4")),
+        ("banked2 rot4 fpb8", 8, dict(impl="banked2", fill="rot4")),
         ("banked2 rot", 4, dict(impl="banked2", fill="rot")),
         ("banked2 cheb8 r8", 4, dict(impl="banked2", fill="cheb8", resync_tiles=8)),
         ("banked2 cheb8 r23", 4, dict(impl="banked2", fill="cheb8", resync_tiles=23)),
@@ -180,6 +182,8 @@ def main_bwd():
          dict(impl="banked2", fill="rot", bank_dtype="bfloat16")),
         ("bwd banked2 rot fpb8 bf16", 8,
          dict(impl="banked2", fill="rot", bank_dtype="bfloat16")),
+        ("bwd banked2 rot4 fpb16", 16, dict(impl="banked2", fill="rot4")),
+        ("bwd banked2 rot4 fpb8", 8, dict(impl="banked2", fill="rot4")),
     ]
     names = sys.argv[2:]
     for name, fpb, kw in variants:

@@ -88,6 +88,7 @@ def test_banked2_variants_match_banked(snr):
         dict(fill="rot"),
         dict(fill="cheb8", resync_tiles=4),
         dict(fill="rot", k_chunk=16),
+        dict(fill="rot4"),  # round-4 log-depth batched-seed fill
     ):
         got = np.asarray(
             _pallas_forward(phase, amps, loud, 4, impl="banked2", **kw)
@@ -99,14 +100,14 @@ def test_banked2_variants_match_banked(snr):
         assert snr(want, got16) > 90.0, kw
 
     wb = _pallas_backward(phase, amps, loud, g, 4, impl="banked")
-    for fpb in (4, 16):
+    for fpb, fill in ((4, "rot"), (16, "rot"), (16, "rot4")):
         gb = _pallas_backward(
-            phase, amps, loud, g, fpb, impl="banked2", fill="rot"
+            phase, amps, loud, g, fpb, impl="banked2", fill=fill
         )
         for name, a, c in zip(("dphase", "damps", "dloud"), wb, gb):
             a, c = np.asarray(a), np.asarray(c)
-            assert a.shape == c.shape, (name, fpb)
-            assert snr(a, c) > 90.0, (name, fpb)
+            assert a.shape == c.shape, (name, fpb, fill)
+            assert snr(a, c) > 90.0, (name, fpb, fill)
 
 
 def test_slot_hop_kernel_matches_xla(snr):

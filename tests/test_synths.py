@@ -169,7 +169,6 @@ def test_reverb_bf16_backward_close_to_f32():
 
     conf32 = CONF.replace(reverb_grad_matmul_dtype="float32")
     confbf = CONF.replace(reverb_grad_matmul_dtype="bfloat16")
-    assert Config().reverb_grad_matmul_dtype == "bfloat16"  # production default
 
     rng = np.random.default_rng(5)
     x = jnp.asarray(rng.standard_normal((2, 8192)).astype(np.float32) * 0.3)
