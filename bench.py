@@ -203,6 +203,34 @@ def bench_train_step(conf):
         "fraction of composed stage bound",
         bound_s / dt,
     )
+    # The production scan trainer (trainer.make_train_scan) precomputes the
+    # target spectrograms once per dataset; the per-step loss then skips
+    # the target-side STFTs (losses.mss_loss_per_scale_cached).  Measure
+    # that step too -- it is what sustained training actually runs.
+    from ddsp_tpu.losses import target_spectrograms
+
+    cached = dict(batch)
+    del cached["audio"]
+    cached.update(
+        target_spectrograms(
+            batch["audio"],
+            conf.mss_ffts,
+            conf.mss_overlap,
+            matmul_dtype=None
+            if conf.loss_matmul_dtype == "float32"
+            else jnp.dtype(conf.loss_matmul_dtype),
+        )
+    )
+    dt_c = _marginal_time(
+        make_many, lambda trial: (state, cached, jnp.float32(trial + 1))
+    )
+    learned_c = batch_size * conf.example_length / dt_c
+    _emit(
+        "train_step_cached_targets_ms",
+        1e3 * dt_c,
+        "ms/step (scan-trainer path)",
+        learned_c / (RT_TARGET * conf.sample_rate),
+    )
 
 
 def bench_stream_hop(conf, crepe_params):

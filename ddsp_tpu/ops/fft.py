@@ -348,15 +348,20 @@ def _fft_row_cost(m: int) -> int:
     return m * (n1 + n2)
 
 
-def _overlap_save_plan(length: int, kernel_len: int, max_chunks: int = 6):
+def _overlap_save_plan(length: int, kernel_len: int, max_chunks: int = None):
     """Pick the chunk count minimizing total matmul-FFT work.
 
     Matmul-FFT cost grows ~ m^1.5 per row, so overlap-save with k chunks
     (each transformed at next_fft_size(ceil(L/k) + klen - 1)) beats one
     big transform once chunks stay comfortably longer than the kernel --
     e.g. the reverb conv (L=88064, klen=44100): one 196608-point FFT ->
-    two 98304-point FFTs, ~29% fewer MACs.
+    two 98304-point FFTs, ~29% fewer MACs.  The search range scales with
+    length/kernel (a fixed small cap left 40% of the MACs on the table at
+    the 60 s render length, round-4 profile); chunks shorter than the
+    kernel never win, so the cap is a search bound, not a cost knob.
     """
+    if max_chunks is None:
+        max_chunks = min(64, max(6, length // max(kernel_len, 1)))
     best_k, best_cost = 1, None
     for k in range(1, max_chunks + 1):
         c = -(-length // k)

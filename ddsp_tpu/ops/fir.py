@@ -139,6 +139,12 @@ _fft_convolve_fastgrad.defvjp(
 )
 
 
+try:  # counter-based threefry core (private in jax; guarded)
+    from jax._src.prng import threefry_2x32 as _threefry_2x32
+except ImportError:  # pragma: no cover - older/newer jax layouts
+    _threefry_2x32 = None
+
+
 def frame_noise(
     key: jax.Array,
     batch: int,
@@ -149,16 +155,40 @@ def frame_noise(
 ) -> jnp.ndarray:
     """(B, n_frames, block_size) uniform noise in [-1, 1).
 
-    Each frame's noise derives from ``fold_in(key, absolute_frame_index)``,
-    making block-based streaming renders reproduce offline renders exactly
-    regardless of block boundaries.
+    Every value is a pure function of (key, batch row, ABSOLUTE sample
+    index): one per-row key (``fold_in(key, b)``) drives a counter-based
+    threefry pass over ``frame_offset*block + [0, n*block)`` -- so
+    block-based streaming renders reproduce offline renders exactly
+    regardless of block boundaries, by counter slicing rather than by
+    re-deriving one key per frame.  (The round-3 form folded the key per
+    frame: 5168 key derivations + per-frame uniform draws cost 0.23 ms of
+    the 60 s render, half the noise stage; one fused counter pass is
+    ~10x cheaper.)  Counters are uint32: exact for the first 2^32 samples
+    (~27 hours at 44.1 kHz) of a stream, wrapping (repeating noise, not
+    corrupting) beyond.
     """
-    frames = jnp.arange(n_frames) + frame_offset
-    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(frames)
-    noise = jax.vmap(
-        lambda k: jax.random.uniform(k, (batch, block_size), dtype, -1.0, 1.0)
-    )(keys)
-    return jnp.moveaxis(noise, 0, 1)
+    if _threefry_2x32 is None:  # pragma: no cover - fallback, same contract
+        frames = jnp.arange(n_frames) + frame_offset
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(frames)
+        noise = jax.vmap(
+            lambda k: jax.random.uniform(k, (batch, block_size), dtype, -1.0, 1.0)
+        )(keys)
+        return jnp.moveaxis(noise, 0, 1)
+    row_keys = jax.vmap(lambda b: jax.random.fold_in(key, b))(
+        jnp.arange(batch)
+    )  # (B, 2) uint32
+    n = n_frames * block_size
+    counts = jnp.asarray(frame_offset, jnp.uint32) * jnp.uint32(
+        block_size
+    ) + jnp.arange(n, dtype=jnp.uint32)
+    # threefry_2x32 splits its count array in half for the two cipher
+    # lanes; pass (counter, 0) pairs explicitly so each output word is a
+    # pure function of its ABSOLUTE counter (the streaming invariant),
+    # independent of the call's array length.
+    cc = jnp.concatenate([counts, jnp.zeros_like(counts)])
+    bits = jax.vmap(lambda rk: _threefry_2x32(rk, cc)[:n])(row_keys)
+    u = bits.astype(jnp.float32) * jnp.float32(2.0**-31) - 1.0
+    return u.reshape(batch, n_frames, block_size).astype(dtype)
 
 
 @functools.lru_cache(maxsize=None)

@@ -71,20 +71,20 @@ def _slot_noise(
 ) -> jnp.ndarray:
     """(N,) per-slot absolute frame indices -> (N, 1, block) uniform noise.
 
-    Row ``i`` draws from ``fold_in(fold_in(key, i), offsets[i])`` with the
-    same (1, block) shape as :func:`ops.fir.frame_noise` uses for a lone
-    batch-1 stream, so a slot's noise sequence is bit-identical to an
-    independent stream keyed ``fold_in(key, i)``.
+    Row ``i`` evaluates :func:`ops.fir.frame_noise` for a lone batch-1
+    stream keyed ``fold_in(key, i)`` at absolute frame ``offsets[i]`` --
+    delegated to frame_noise itself so a slot's noise sequence is
+    bit-identical to an independent stream by construction, whatever the
+    generator's internals.
     """
+    from ddsp_tpu.ops.fir import frame_noise
+
     n = offsets.shape[0]
     slot_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(n))
-
-    def draw(k, off):
-        return jax.random.uniform(
-            jax.random.fold_in(k, off), (1, block_size), dtype, -1.0, 1.0
-        )
-
-    return jax.vmap(draw)(slot_keys, offsets)  # (N, 1, block)
+    drawn = jax.vmap(
+        lambda k, off: frame_noise(k, 1, 1, block_size, off, dtype)
+    )(slot_keys, offsets)  # (N, 1, 1, block)
+    return drawn[:, 0]  # (N, 1, block)
 
 
 def _where_rows(mask: jnp.ndarray, new: MultiStreamState, old: MultiStreamState) -> MultiStreamState:

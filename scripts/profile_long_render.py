@@ -183,21 +183,25 @@ def main():
     batch = long_batch(conf)
 
     results = {}
+    only = sys.argv[1:]  # substring filters: run only matching stages
 
-    def record(name, seconds):
+    def record(name, thunk):
+        if only and not any(s in name for s in only):
+            return
+        seconds = thunk()
         results[name] = seconds
         sps = FRAMES * conf.hop_length / seconds
         print(f"{name:26s} {seconds * 1e3:8.3f} ms   ({sps / 1e6:6.1f} M samp/s)", flush=True)
 
     # --- baseline + stages
-    record("full_decode", marginal_time(
+    record("full_decode", lambda: marginal_time(
         lambda bt: jnp.sum(decoder_apply(params, bt, conf, key)), batch
     ))
     confbf = conf.replace(compute_dtype="bfloat16")
-    record("full_decode_bf16mlp", marginal_time(
+    record("full_decode_bf16mlp", lambda: marginal_time(
         lambda bt: jnp.sum(decoder_apply(params, bt, confbf, key)), batch
     ))
-    record("controller", marginal_time(
+    record("controller", lambda: marginal_time(
         lambda bt: jnp.sum(controller_apply(params["controller"], bt)[0]["c"]),
         batch,
     ))
@@ -219,28 +223,28 @@ def main():
         )
         return jnp.sum(ys) + jnp.sum(hT)
 
-    record("gru_proj_plus_scan", marginal_time(gru_only, latent))
+    record("gru_proj_plus_scan", lambda: marginal_time(gru_only, latent))
 
     controls, _ = jax.jit(lambda p, bt: controller_apply(p, bt))(
         params["controller"], batch
     )
-    record("osc_pallas", marginal_time(
+    record("osc_pallas", lambda: marginal_time(
         lambda cs: jnp.sum(oscillator_apply(cs, conf)[0]), controls
     ))
-    record("noise", marginal_time(
+    record("noise", lambda: marginal_time(
         lambda cs: jnp.sum(noise_apply(cs, conf, key)), controls
     ))
     audio = jnp.asarray(
         (0.1 * np.random.default_rng(4).standard_normal((1, FRAMES * conf.hop_length))).astype(np.float32)
     )
-    record("reverb", marginal_time(
+    record("reverb", lambda: marginal_time(
         lambda x: jnp.sum(reverb_apply(params["reverb"], x, conf)), audio
     ))
 
     # phase alone
     f0 = batch["f0"][..., 0]
     f0_pad = jnp.concatenate([f0[:, :1], f0, f0[:, -1:]], axis=1)
-    record("phase", marginal_time(
+    record("phase", lambda: marginal_time(
         lambda fp: jnp.sum(
             _fundamental_phase_cycles(fp, conf.hop_length, conf.sample_rate,
                                       jnp.zeros((1,), jnp.float32))
@@ -258,10 +262,12 @@ def main():
 
         return jnp.sum(convolve_designed_fir(cs["H"], fixed_noise))
 
-    record("noise_fixed_rng", marginal_time(noise_fixed, controls))
+    record("noise_fixed_rng", lambda: marginal_time(noise_fixed, controls))
 
     # --- pipelined decode: equality then timing
     for n_chunks in (8, 16):
+        if only and not any(s in f"pipelined_{n_chunks}" for s in only):
+            continue
         fn = jax.jit(
             lambda p, bt, nc=n_chunks: decode_pipelined(p, bt, conf, key, nc)
         )
@@ -270,7 +276,7 @@ def main():
         out_r = np.asarray(ref(params, batch))
         err = np.max(np.abs(out_p - out_r)) / max(np.max(np.abs(out_r)), 1e-9)
         print(f"pipelined({n_chunks}) rel max err vs decoder_apply: {err:.2e}")
-        record(f"pipelined_{n_chunks}", marginal_time(
+        record(f"pipelined_{n_chunks}", lambda: marginal_time(
             lambda bt, nc=n_chunks: jnp.sum(decode_pipelined(params, bt, conf, key, nc)),
             batch,
         ))
