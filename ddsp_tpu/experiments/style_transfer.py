@@ -37,7 +37,13 @@ class StyleTransferConfig(NamedTuple):
     # style_transfer.py:124).  0 = optax's zoom linesearch (adaptive step,
     # the validated default); > 0 = fixed step like torch LBFGS(lr=...).
     learning_rate: float = 0.0
-    gl_iters: int = 64
+    # Griffin-Lim iterations for the inversion.  The reference runs 5000
+    # (style_transfer.py:149-154); measured on the matmul-FFT GL
+    # (scripts/gl_quality_curve.py, docs/PERFORMANCE.md round 4), quality
+    # plateaus by 512: spectral convergence 0.05922 @512 vs 0.05912 @5000
+    # (64 iters sits 35% off plateau).  512 matches the reference's
+    # inversion quality at 1/10th the iterations.
+    gl_iters: int = 512
     sample_rate: int = 44100
 
 
