@@ -128,3 +128,24 @@ def test_rfft_pair_large_matmul_dtype(snr):
     # bf16 inputs: loss-grade accuracy, clearly worse than f32 but usable
     assert snr(ref.real, re16) > 25 and snr(ref.imag, im16) > 25
     assert snr(ref.real, re16) < snr(ref.real, re32)
+
+
+def test_overlap_save_adaptive_chunking(snr):
+    """The chunk-count search scales with length/kernel (round 4): at long
+    render-like lengths the old fixed cap of 6 left ~40% of the MACs on
+    the table.  The plan must pick more chunks when profitable and the
+    chunked convolution must still match direct convolution exactly."""
+    from ddsp_tpu.ops.fft import _overlap_save_plan
+
+    length, klen = 120000, 3000
+    k = _overlap_save_plan(length, klen)
+    assert k > 6, k  # the adaptive cap actually unlocked more chunks
+    rng = np.random.default_rng(11)
+    sig = rng.standard_normal((1, length)).astype(np.float32)
+    ker = 0.1 * rng.standard_normal((1, klen)).astype(np.float32)
+    got = np.asarray(rfft_convolve_same(jnp.asarray(sig), jnp.asarray(ker), klen))
+    want = np.convolve(sig[0], ker[0])[:length]
+    assert snr(want, got[0]) > 55.0
+    # training shape's plan is unchanged by the adaptive cap (k=2 at the
+    # 2 s example length -- keeps BENCH train-step numbers comparable)
+    assert _overlap_save_plan(88064, 44100) == 2

@@ -123,3 +123,16 @@ def test_irfft_out_len_matches_slice():
     full = np.asarray(irfft_pair(re, im, 256))
     trunc = np.asarray(irfft_pair(re, im, 256, out_len=100))
     np.testing.assert_allclose(trunc, full[..., :100], rtol=1e-5, atol=1e-6)
+
+
+def test_frame_noise_counter_contract_large_offset():
+    """Counter-based generator (round 4): values are a pure function of
+    (key, row, absolute sample), so a far-future block must match the
+    corresponding slice of a longer render, and rows must differ."""
+    key = jax.random.PRNGKey(3)
+    off = 100_000  # ~19 min into a stream at hop 512
+    far = np.asarray(frame_noise(key, 2, 3, 32, frame_offset=off))
+    wider = np.asarray(frame_noise(key, 2, 5, 32, frame_offset=off - 1))
+    np.testing.assert_array_equal(far, wider[:, 1:4])
+    assert far.min() >= -1.0 and far.max() < 1.0
+    assert np.abs(far[0] - far[1]).max() > 0  # per-row keys differ
