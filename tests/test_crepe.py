@@ -218,3 +218,20 @@ def test_pitch_weighted_fixes_reference_pairing_bug(reference_path):
         rf, _, _ = d.pitch_weighted(torch.from_numpy(probs))
     rel = np.abs(np.asarray(f) - rf.numpy()) / np.abs(rf.numpy())
     assert rel.max() > 1e-3, "reference pairing bug not observable?"
+
+
+def test_nlc_layout_matches_nch():
+    """The channels-last stack + space-to-depth first conv (round 4) is a
+    pure relayout: forward probabilities and embed features must match the
+    torch-shaped NCH path to float32 reassociation noise."""
+    from ddsp_tpu.models.crepe import crepe_forward, crepe_init
+
+    params = crepe_init(jax.random.PRNGKey(5), capacity="tiny")
+    rng = np.random.default_rng(6)
+    import jax.numpy as jnp
+    frames = jnp.asarray(rng.standard_normal((4, 1024)).astype(np.float32))
+    for embed in (False, True):
+        a = np.asarray(crepe_forward(params, frames, embed=embed, layout="nlc"))
+        b = np.asarray(crepe_forward(params, frames, embed=embed, layout="nch"))
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
