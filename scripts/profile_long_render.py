@@ -39,7 +39,6 @@ from ddsp_tpu.models.controller import (
     modified_sigmoid,
 )
 from ddsp_tpu.models.synths import noise_apply, oscillator_apply, reverb_apply
-from ddsp_tpu.ops.interp import edge_pad_frames
 from ddsp_tpu.ops.oscillator import (
     _fundamental_phase_cycles,
     nyquist_normalized_amps,
