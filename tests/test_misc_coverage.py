@@ -104,3 +104,29 @@ def test_frame_chunked_training_gradients():
     g_full = jax.grad(lambda a: loss(a, None))(amps)
     g_chunk = jax.grad(lambda a: loss(a, 4))(amps)
     np.testing.assert_allclose(np.asarray(g_full), np.asarray(g_chunk), rtol=1e-3, atol=1e-4)
+
+
+def test_train_step_bound_composition():
+    """The composed whole-step speed-of-light bound (round-4 VERDICT #4
+    machinery): every stage positive, stages sum to the total, the
+    decoder param count matches a real init, and the reverb component
+    responds to its precision knob (bf16 backward lowers the bound)."""
+    import jax
+
+    from ddsp_tpu.config import Config
+    from ddsp_tpu.models.controller import decoder_init
+    from ddsp_tpu.models.nn import count_params
+    from ddsp_tpu.utils.roofline import decoder_param_count, train_step_bound_s
+
+    conf = Config()
+    total, breakdown = train_step_bound_s(conf, 16)
+    assert all(v > 0 for v in breakdown.values()), breakdown
+    assert abs(total - sum(breakdown.values())) < 1e-12
+    assert 1e-3 < total < 20e-3  # milliseconds-scale at production shape
+
+    params = decoder_init(jax.random.PRNGKey(0), conf)
+    assert decoder_param_count(conf) == count_params(params)
+
+    conf_bf = conf.replace(reverb_grad_matmul_dtype="bfloat16")
+    _, bd_bf = train_step_bound_s(conf_bf, 16)
+    assert bd_bf["reverb_fft_mxu"] < breakdown["reverb_fft_mxu"]
