@@ -9,9 +9,11 @@ for driver-verifiable evidence beyond the single synth-forward number):
   train_step_fraction_of_bound          measured vs composed whole-step bound
   stream_hop_ms                         the reference's whole JACK callback
   encode_samples_per_s_per_chip         CREPE-tiny f0 + loudness extraction
+  encode_mfu / encode_mfu_full          tiny (shape-capped) + 'full' capacity
   long_render_samples_per_s             one 60 s stream, batch 1 (serving)
   osc_kernel_speedup_vs_xla             fused Pallas sine-bank vs XLA einsum
-  osc_fwd_fraction_of_speed_of_light    measured vs v5e fill+contract bound
+  osc_fwd_fraction_of_speed_of_light    measured vs ideal fill+contract bound
+  osc_fwd_fraction_of_achievable        vs store/issue-charged (reachable) bound
   mss_loss_fwdbwd_mfu                   STFT matmuls vs v5e bf16 MXU peak
   multistream_{256,1024,2048}_hop_ms    N-client serving step vs RT deadline
   multistream_frontier_slots            largest slot count inside the deadline
@@ -341,6 +343,45 @@ def bench_encode(conf, crepe_params):
         "fraction of v5e bf16 MXU peak",
         flops / dt / MXU_BF16,
     )
+    # tiny's encode_mfu ceiling is set by its 16-64-wide channel counts,
+    # not by code headroom; the SAME conv stack at CREPE-'full' capacity
+    # (128-1024-wide stages) is the honest capability number, measured here
+    # in the same run so the artifact explains itself (round-4 VERDICT #8).
+    # Weights are randomly initialized -- throughput is value-independent.
+    from ddsp_tpu.models.crepe import crepe_init
+
+    conf_full = conf.replace(crepe_capacity="full")
+    full_params = crepe_init(jax.random.PRNGKey(3), capacity="full")
+
+    def make_many_full(iters):
+        @jax.jit
+        def many(crepe_params, audio):
+            def body(carry, i):
+                feats = encoder_apply(
+                    crepe_params, feature_pad(carry, conf_full), conf_full
+                )
+                eps = 1e-12 * jnp.mean(feats["loudness"])
+                return carry + eps, feats["f0"][:, 0, 0]
+
+            final, f0s = jax.lax.scan(body, audio, jnp.arange(iters))
+            return jnp.sum(f0s) + jnp.sum(final * 1e-20)
+
+        return many
+
+    def trial_args_full(trial):
+        noisy = audio + 0.01 * jnp.asarray(
+            rng.standard_normal(audio.shape), jnp.float32
+        )
+        return (full_params, noisy)
+
+    dt_full = _marginal_time(make_many_full, trial_args_full)
+    flops_full = encode_flops(batch, conf_full.frames_per_example, conf_full)
+    _emit(
+        "encode_mfu_full",
+        flops_full / dt_full / MXU_BF16,
+        "fraction of v5e bf16 MXU peak (CREPE-'full' capacity)",
+        flops_full / dt_full / MXU_BF16,
+    )
 
 
 def bench_long_render(conf):
@@ -458,6 +499,20 @@ def bench_osc_kernel(conf):
         osc_speed_of_light_s(b, t, hop, h) / dts["pallas"],
         "fraction of v5e fill+contract bound",
         osc_speed_of_light_s(b, t, hop, h) / dts["pallas"],
+    )
+    # The ideal bound above charges the bank fill ZERO store cost, which
+    # rounds 3-4 established is structurally unreachable (every rescheduling
+    # ties or loses; the fill must store each bank element once).  The
+    # achievable bound charges the measured store/issue factor
+    # (roofline.OSC_FILL_STORE_ISSUE_FACTOR) -- this is the fraction that
+    # honestly reads "how close is the kernel to what this algorithm can
+    # reach on this hardware" (round-4 VERDICT #6).
+    ach = osc_speed_of_light_s(b, t, hop, h, achievable=True)
+    _emit(
+        "osc_fwd_fraction_of_achievable",
+        ach / dts["pallas"],
+        "fraction of achievable (store/issue-charged) bound",
+        ach / dts["pallas"],
     )
 
 
@@ -690,11 +745,12 @@ def main():
         ("stream_hop", lambda: bench_stream_hop(conf, crepe_params),
          ("stream_hop_ms",)),
         ("encode", lambda: bench_encode(conf, crepe_params),
-         ("encode_samples_per_s_per_chip", "encode_mfu")),
+         ("encode_samples_per_s_per_chip", "encode_mfu", "encode_mfu_full")),
         ("long_render", lambda: bench_long_render(conf),
          ("long_render_samples_per_s",)),
         ("osc_kernel", lambda: bench_osc_kernel(conf),
-         ("osc_kernel_speedup_vs_xla", "osc_fwd_fraction_of_speed_of_light")),
+         ("osc_kernel_speedup_vs_xla", "osc_fwd_fraction_of_speed_of_light",
+          "osc_fwd_fraction_of_achievable")),
         ("mss_mfu", lambda: bench_mss_mfu(conf), ("mss_loss_fwdbwd_mfu",)),
         ("multistream", lambda: bench_multistream(conf, crepe_params),
          ("multistream_256_hop_ms", "multistream_1024_hop_ms",

@@ -174,6 +174,11 @@ def frame_noise(
             lambda k: jax.random.uniform(k, (batch, block_size), dtype, -1.0, 1.0)
         )(keys)
         return jnp.moveaxis(noise, 0, 1)
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        # New-style typed keys (jax.random.key): unwrap to the raw uint32
+        # (2,) form the threefry core consumes.  fold_in below accepts raw
+        # legacy keys, so the rest of the path is key-flavor agnostic.
+        key = jax.random.key_data(key)
     row_keys = jax.vmap(lambda b: jax.random.fold_in(key, b))(
         jnp.arange(batch)
     )  # (B, 2) uint32
@@ -187,7 +192,13 @@ def frame_noise(
     # independent of the call's array length.
     cc = jnp.concatenate([counts, jnp.zeros_like(counts)])
     bits = jax.vmap(lambda rk: _threefry_2x32(rk, cc)[:n])(row_keys)
-    u = bits.astype(jnp.float32) * jnp.float32(2.0**-31) - 1.0
+    # 24 mantissa-safe bits -> exact float32 in [-1, 1).  (The naive
+    # bits * 2^-31 - 1 form rounds counts >= 2^32 - 128 up to 2^32 and
+    # emits exactly 1.0 ~ every 3e-8 samples, violating the half-open
+    # contract; the top-24-bit ladder is exact and strictly < 1.0.)
+    u = (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(
+        2.0**-23
+    ) - 1.0
     return u.reshape(batch, n_frames, block_size).astype(dtype)
 
 

@@ -518,6 +518,16 @@ def _pallas_forward(
     precision=jax.lax.Precision.HIGHEST,  # banked2 contraction passes
     bank_dtype: str = "float32",  # banked2 bank storage/contraction dtype
 ) -> jnp.ndarray:
+    if fill == "rot4" and k_chunk is not None:
+        # The log-depth rot4 fill seeds every 4th tile in one whole-bank
+        # batched pass; chunked contraction would call it with partial tile
+        # ranges, which it cannot seed (the whole-bank assert inside
+        # fill_rows would otherwise trip mid-trace with no context).
+        raise ValueError(
+            "fill='rot4' is whole-bank only and cannot be combined with "
+            "k_chunk interleaving; use fill='rot' with k_chunk, or drop "
+            "k_chunk"
+        )
     b, t, hop = phase1.shape
     h = amps_pad.shape[-1]
     hp = _round_up(h, LANE)

@@ -66,12 +66,36 @@ def osc_counts(b: int, t: int, hop: int, n_h: int):
     return fill_fwd, fwd_macs, 3 * bwd_macs
 
 
-def osc_speed_of_light_s(b: int, t: int, hop: int, n_h: int, backward=False):
-    """Fill+contract lower bound (seconds) for the oscillator render."""
+# Measured fill overhead: the rotation fill's bank STORES and issue slots
+# cost ~as much again as its 6 arithmetic ops.  Established empirically
+# across rounds 3-4 (docs/PERFORMANCE.md): every schedule that changes the
+# dependency structure or op count ties or loses (cheb8 fill ~2 ops/elem:
+# no faster; rot4 log-depth: 3.7x slower; k-chunked interleave: slower;
+# block-shape sweep: flat), so the ~2x gap between the measured fill and
+# the pure-ALU ideal is the cost of one store per bank element plus issue
+# limits -- structural, not schedulable.  The ACHIEVABLE bound charges it;
+# the IDEAL bound (ops only, zero store cost) is kept for the record.
+OSC_FILL_STORE_ISSUE_FACTOR = 2.0
+
+
+def osc_speed_of_light_s(
+    b: int, t: int, hop: int, n_h: int, backward=False, achievable=False
+):
+    """Fill+contract lower bound (seconds) for the oscillator render.
+
+    ``achievable=False``: the ideal bound -- rotation fill at the pure
+    4-ALU VPU issue rate (6 ops/element forward, 8 backward) with ZERO
+    store cost, plus the MXU contraction passes.  Structurally out of
+    reach: the fill must store every bank element once.
+    ``achievable=True``: fill charged at the measured store/issue factor
+    (see OSC_FILL_STORE_ISSUE_FACTOR) -- what a perfect schedule of the
+    shipped algorithm could actually reach on this hardware.
+    """
     fill, fwd_macs, bwd_macs = osc_counts(b, t, hop, n_h)
-    sol = 6 * fill / VPU_OPS + 2 * fwd_macs / MXU_F32_HIGHEST
+    f = OSC_FILL_STORE_ISSUE_FACTOR if achievable else 1.0
+    sol = f * 6 * fill / VPU_OPS + 2 * fwd_macs / MXU_F32_HIGHEST
     if backward:
-        sol += 8 * fill / VPU_OPS + 2 * bwd_macs / MXU_F32_DEFAULT
+        sol += f * 8 * fill / VPU_OPS + 2 * bwd_macs / MXU_F32_DEFAULT
     return sol
 
 
@@ -249,7 +273,9 @@ def reverb_bound_s(conf, b: int, length: int) -> float:
     """Speed-of-light seconds for the reverb fwd+bwd at its shipped
     precisions: forward at the DFT layer's DEFAULT-f32 rate; the two
     backward correlations (hand-written VJP, ops/fir.fft_convolve) at
-    ``conf.reverb_grad_matmul_dtype`` (bf16 default = full MXU rate).
+    ``conf.reverb_grad_matmul_dtype`` (shipped default float32 = exact
+    autodiff at the DEFAULT-f32 rate; the bf16 knob models full MXU rate
+    but was measured not to win and is off -- docs/PERFORMANCE.md round 4).
     Each backward is the linear transpose of the forward with the other
     operand fixed, so d/dsignal and d/dkernel each cost ~one forward
     convolution class (the d/dkernel transpose recomputes the signal

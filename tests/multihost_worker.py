@@ -57,7 +57,8 @@ CONF_KWARGS = dict(
     mss_ffts=(256, 128),
     batch_size=8,
     # Sharded reverb backward is exact autodiff; pin the single-process
-    # oracle to the same precision (production default is bf16 gradients).
+    # oracle to the same precision (f32 is also the shipped default;
+    # pinned so the equality stays exact if that default ever changes).
     reverb_grad_matmul_dtype="float32",
 )
 GLOBAL_BATCH = 8

@@ -85,3 +85,24 @@ def test_encode_flops_accounting():
     total = encode_flops(16, conf.frames_per_example, conf)
     loud = conf.frames_per_example * conf.n_fft * (conf.n_fft // 2 + 1) * 2
     assert total == 2 * 16 * (172 * want + loud)
+
+
+def test_claim_tables_match_latest_bench_artifact():
+    """BASELINE.md's current-round table and README's headline numbers must
+    quote the latest driver-recorded BENCH_rNN.json verbatim (rounds 2-4
+    each drifted; round-4 VERDICT Next #3 made this a checked invariant)."""
+    import os
+    import subprocess
+    import sys
+
+    from scripts.check_claims import check
+
+    problems = check()
+    assert not problems, "\n".join(problems)
+    # the CLI form the docs reference must agree
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rc = subprocess.run(
+        [sys.executable, os.path.join(root, "scripts", "check_claims.py")],
+        capture_output=True,
+    ).returncode
+    assert rc == 0

@@ -19,6 +19,11 @@ import pytest
 
 WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
 
+# Each case spawns two fresh Python processes that re-import jax and
+# re-trace the train step -- minutes apiece on this 2-CPU box.  The fast
+# lane (-m 'not slow') skips them; the full suite runs them.
+pytestmark = pytest.mark.slow
+
 
 def _free_port() -> int:
     with socket.socket() as s:

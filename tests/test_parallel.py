@@ -35,8 +35,9 @@ CONF = Config(
     mss_ffts=(256, 128),
     batch_size=8,
     # The sharded (halo-exchange) reverb keeps an exact-autodiff backward;
-    # pin the single-device reference to f32 gradients so the equality
-    # checks compare mesh algebra, not the production bf16-grad default.
+    # pin the single-device reference to f32 gradients (also the shipped
+    # default -- pinned so the mesh-algebra equality checks stay exact if
+    # the default ever changes).
     reverb_grad_matmul_dtype="float32",
 )
 

@@ -28,10 +28,11 @@ CONF = Config(
     decoder_mlp_units=64,
     decoder_mlp_layers=2,
     decoder_gru_units=64,
-    # The goldens here pin the exact-autodiff MATH against torch; the
-    # production default trades documented ~1e-3 gradient noise for 3x MXU
-    # rate on the reverb backward (bf16-vs-f32 closeness is asserted in
-    # tests/test_synths.py).
+    # The goldens here pin the exact-autodiff MATH against torch.  f32 is
+    # also the shipped default (bf16 gradients were measured not to win,
+    # docs/PERFORMANCE.md round 4); pinning it explicitly keeps the goldens
+    # meaningful if that default ever changes (bf16-vs-f32 closeness is
+    # asserted in tests/test_synths.py).
     reverb_grad_matmul_dtype="float32",
 )
 

@@ -163,8 +163,9 @@ def test_fft_convolve_custom_vjp_matches_autodiff():
 
 
 def test_reverb_bf16_backward_close_to_f32():
-    """Default bf16 reverb backward: loss-grade gradients, aligned with the
-    exact-autodiff direction (cos > 0.999, rel error ~1e-2)."""
+    """Opt-in bf16 reverb backward (shipped default is f32 exact autodiff):
+    loss-grade gradients, aligned with the exact-autodiff direction
+    (cos > 0.999, rel error ~1e-2)."""
     from ddsp_tpu.models.synths import reverb_apply, reverb_init
 
     conf32 = CONF.replace(reverb_grad_matmul_dtype="float32")

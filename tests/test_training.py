@@ -139,6 +139,7 @@ def test_fit_device_steps_scan(tmp_path):
     assert list((tmp_path / "audio").glob("*.wav"))
 
 
+@pytest.mark.slow
 def test_kill_and_resume_fault_injection(tmp_path):
     """Fault injection (SURVEY §5, failure detection/elastic recovery):
     SIGKILL a training process mid-run, then restart and resume from its
