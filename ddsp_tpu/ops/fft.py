@@ -291,6 +291,120 @@ def _reverse_spectrum(a: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([a[..., :1], a[..., 1:][..., ::-1]], axis=-1)
 
 
+# --- permuted-spectrum Cooley-Tukey (the convolution fast path) --------------
+#
+# The four-step CT FFT's last move -- de-interleaving X[k1 + n1 k2] =
+# E[k1, k2] into natural order -- is pure data movement.  Convolution never
+# needs natural order: the spectrum product is elementwise, so as long as
+# forward, kernel spectrum, and inverse share ONE (k1, k2) layout, the
+# "bit-reversal" cancels.  These transforms keep spectra in the permuted
+# (n1, n2) layout and build the inverse directly from the factorization
+#
+#   y[a n2 + b] = (1/n) sum_k1 W_n1^{-a k1} [ W_n^{-b k1}
+#                   sum_k2 P[k1, k2] W_n2^{-b k2} ]
+#
+# so BOTH directions are (matmul, twiddle-elementwise, matmul) with no
+# transposes, no spectrum reversals, and no hermitian pack/unpack (for a
+# SHARED real kernel, packing rows (2i, 2i+1) as re+j*im needs no
+# separation at all: conv(x + j y, k) = conv(x, k) + j conv(y, k)).
+# This removes the proportional data-movement overhead the round-4
+# chunk-size A/B proved was bounding the CT path (docs/PERFORMANCE.md).
+
+
+def _ct_fwd_permuted(xr, xi, n: int, matmul_dtype=None):
+    """Complex FFT of (..., n) rows -> permuted spectrum (..., n1, n2),
+    P[..., k1, k2] = X[..., k1 + n1*k2]."""
+    n1, n2 = _split_factors(n)
+    lead = xr.shape[:-1]
+    ar = xr.reshape(*lead, n1, n2)
+    ai = xi.reshape(*lead, n1, n2)
+    d1r, d1i = (jnp.asarray(m) for m in _dft_mats(n1))
+    d2r, d2i = (jnp.asarray(m) for m in _dft_mats(n2))
+    tr, ti = (jnp.asarray(m) for m in _twiddle(n1, n2))
+    if matmul_dtype is not None:
+        mm = functools.partial(jnp.matmul, preferred_element_type=jnp.float32)
+        ar, ai = ar.astype(matmul_dtype), ai.astype(matmul_dtype)
+        d1r, d1i = d1r.astype(matmul_dtype), d1i.astype(matmul_dtype)
+        d2r, d2i = d2r.astype(matmul_dtype), d2i.astype(matmul_dtype)
+    else:
+        mm = _mm
+    # Step 1: B[k1, b] = sum_a A[a, b] W_n1^{a k1}  (contract the -2 axis;
+    # D1 is symmetric so D1^T == D1)
+    br = mm(d1r, ar) - mm(d1i, ai)
+    bi = mm(d1r, ai) + mm(d1i, ar)
+    # Step 2: twiddle W_n^{k1 b} -- elementwise, float32
+    cr = br * tr - bi * ti
+    ci = br * ti + bi * tr
+    if matmul_dtype is not None:
+        cr, ci = cr.astype(matmul_dtype), ci.astype(matmul_dtype)
+    # Step 3: P[k1, k2] = sum_b C[k1, b] W_n2^{b k2}
+    pr = mm(cr, d2r) - mm(ci, d2i)
+    pi = mm(cr, d2i) + mm(ci, d2r)
+    return pr, pi
+
+
+def _ct_inv_permuted(pr, pi, n: int, matmul_dtype=None):
+    """Inverse of :func:`_ct_fwd_permuted`: permuted spectrum
+    (..., n1, n2) -> complex time rows (..., n) in natural order."""
+    n1, n2 = _split_factors(n)
+    lead = pr.shape[:-2]
+    d1r, d1i = (jnp.asarray(m) for m in _dft_mats(n1))
+    d2r, d2i = (jnp.asarray(m) for m in _dft_mats(n2))
+    tr, ti = (jnp.asarray(m) for m in _twiddle(n1, n2))
+    if matmul_dtype is not None:
+        mm = functools.partial(jnp.matmul, preferred_element_type=jnp.float32)
+        pr, pi = pr.astype(matmul_dtype), pi.astype(matmul_dtype)
+        d1r, d1i = d1r.astype(matmul_dtype), d1i.astype(matmul_dtype)
+        d2r, d2i = d2r.astype(matmul_dtype), d2i.astype(matmul_dtype)
+    else:
+        mm = _mm
+    # Step 1: Q[k1, b] = sum_k2 P[k1, k2] conj(W_n2)^{k2 b}
+    qr = mm(pr, d2r) + mm(pi, d2i)
+    qi = mm(pi, d2r) - mm(pr, d2i)
+    # Step 2: conjugate twiddle
+    rr = qr * tr + qi * ti
+    ri = qi * tr - qr * ti
+    if matmul_dtype is not None:
+        rr, ri = rr.astype(matmul_dtype), ri.astype(matmul_dtype)
+    # Step 3: y[a, b] = sum_k1 conj(W_n1)^{a k1} R[k1, b]
+    yr = mm(d1r, rr) + mm(d1i, ri)
+    yi = mm(d1r, ri) - mm(d1i, rr)
+    scale = 1.0 / n
+    return (yr * scale).reshape(*lead, n), (yi * scale).reshape(*lead, n)
+
+
+def _rfft_convolve_large_shared(
+    signal: jnp.ndarray,
+    kernel: jnp.ndarray,
+    kernel_len: int,
+    n: int,
+    matmul_dtype=None,
+) -> jnp.ndarray:
+    """Large-n causal convolution of real rows with ONE shared real kernel.
+
+    Rows (2i, 2i+1) ride one complex transform as re + j*im; because the
+    kernel is shared and real, conv(x + j y) = conv(x) + j conv(y), so the
+    spectrum product is a single elementwise complex multiply with the
+    kernel's permuted spectrum -- no hermitian separation/repacking (the
+    round-4 packed path spent ~30 elementwise ops + two full-spectrum
+    reversals per row pair on an algebraic identity).  Odd batches pad one
+    zero row instead of falling back to hermitian extension.
+    """
+    b, length = signal.shape
+    rows = (b + 1) // 2
+    sig = jnp.pad(signal, ((0, 2 * rows - b), (0, n - length)))
+    pr, pi = _ct_fwd_permuted(sig[0::2], sig[1::2], n, matmul_dtype)
+    k = jnp.pad(
+        kernel[..., :kernel_len], ((0, 0), (0, n - kernel_len))
+    )
+    kr, ki = _ct_fwd_permuted(k, jnp.zeros_like(k), n, matmul_dtype)
+    wr = pr * kr - pi * ki
+    wi = pr * ki + pi * kr
+    yr, yi = _ct_inv_permuted(wr, wi, n, matmul_dtype)
+    out = jnp.stack([yr, yi], axis=1).reshape(2 * rows, n)
+    return out[:b, :length]
+
+
 def _rfft_convolve_large_packed(
     signal: jnp.ndarray,
     kernel: jnp.ndarray,
@@ -392,7 +506,11 @@ def _rfft_convolve_overlap_save(
     blocks = jnp.stack(
         [padded[:, i * c : i * c + m] for i in range(k)], axis=1
     ).reshape(b * k, m)
-    if (b * k) % 2 == 0:
+    if kernel.shape[0] == 1 and m > DIRECT_MAX:
+        conv = _rfft_convolve_large_shared(
+            blocks, kernel, kernel_len, m, matmul_dtype
+        )
+    elif (b * k) % 2 == 0 and m > DIRECT_MAX:
         conv = _rfft_convolve_large_packed(
             blocks, kernel, kernel_len, m, matmul_dtype
         )
@@ -439,9 +557,18 @@ def rfft_convolve_same(
     if (
         n > DIRECT_MAX
         and signal.ndim == 2
+        and kernel.ndim == 2
+        and kernel.shape[0] == 1
+    ):
+        return _rfft_convolve_large_shared(
+            signal, kernel, kernel_len, n, matmul_dtype
+        )
+    if (
+        n > DIRECT_MAX
+        and signal.ndim == 2
         and signal.shape[0] % 2 == 0
         and kernel.ndim == 2
-        and kernel.shape[0] in (1, signal.shape[0])
+        and kernel.shape[0] == signal.shape[0]
     ):
         return _rfft_convolve_large_packed(
             signal, kernel, kernel_len, n, matmul_dtype
