@@ -92,13 +92,15 @@ class Config:
     loss_matmul_dtype: str = "bfloat16"
     # dtype of the reverb convolution's BACKWARD DFT matmuls (float32
     # accumulation; forward audio stays full precision) via the
-    # hand-written transpose VJP in ops/fir.fft_convolve.  Measured on the
-    # v5e (scripts/profile_reverb_grad.py, round 4): bf16 does NOT beat
-    # f32 autodiff (1.71 vs 1.63 ms fwd+bwd) -- the Cooley-Tukey FFT's
-    # twiddle/data-movement work, not matmul passes, bounds the backward —
-    # so the default stays exact.  Kept as an option for future hardware
-    # where the matmul passes dominate.
-    reverb_grad_matmul_dtype: str = "float32"
+    # hand-written transpose VJP in ops/fir.fft_convolve.  History: round 4
+    # measured bf16 NOT winning (1.71 vs 1.63 ms fwd+bwd) because the old
+    # CT path was bounded by twiddle/pack data movement; the round-5
+    # permuted-spectrum CT removed that movement and bf16 now wins
+    # (0.969 vs 1.067 ms, scripts/profile_reverb_grad.py) -- so the
+    # default is bf16 gradients, in the spirit of the reference's fp16-AMP
+    # training (train/train.py:50).  Set 'float32' for exact autodiff
+    # (gradient parity tests pin it explicitly).
+    reverb_grad_matmul_dtype: str = "bfloat16"
     osc_impl: str = "auto"  # 'auto' | 'xla' | 'pallas'
 
     # --- parallelism --------------------------------------------------------

@@ -142,9 +142,11 @@ def reverb_apply(params: dict, x: jnp.ndarray, conf: Config) -> jnp.ndarray:
 
     The forward convolution runs at full DFT precision; the backward
     convolutions run at ``conf.reverb_grad_matmul_dtype`` through the
-    transpose VJP in ops/fir.fft_convolve (default float32 == exact
-    autodiff; bf16 was measured NOT to help -- the CT FFT's twiddle and
-    data-movement work bounds the backward, docs/PERFORMANCE.md round 4).
+    transpose VJP in ops/fir.fft_convolve (default bfloat16: round 4
+    measured bf16 a wash because the old CT path was data-movement-bound;
+    the round-5 permuted-spectrum CT removed that movement and bf16 wins
+    0.969 vs 1.067 ms -- docs/PERFORMANCE.md.  'float32' = exact
+    autodiff, pinned by the gradient-parity tests).
     """
     impulse = reverb_impulse(params, conf)
     return fft_convolve(

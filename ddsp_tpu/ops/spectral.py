@@ -100,6 +100,80 @@ def _spectrogram_hopblocked(
     return re, im
 
 
+@functools.lru_cache(maxsize=None)
+def _hann_rdft_cat(n_fft: int):
+    """Hann-windowed rDFT matrix with cos and sin column-concatenated:
+    (n_fft, 2 * (n_fft//2 + 1))."""
+    t = np.arange(n_fft)[:, None]
+    k = np.arange(n_fft // 2 + 1)[None, :]
+    ang = -2.0 * np.pi * t * k / n_fft
+    win = 0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(n_fft) / n_fft))
+    cos = win[:, None] * np.cos(ang)
+    sin = win[:, None] * np.sin(ang)
+    return np.concatenate([cos, sin], axis=1).astype(np.float32)
+
+
+def _spectrogram_phased(
+    xp: jnp.ndarray, n_fft: int, hop: int, matmul_dtype=None
+):
+    """Phase-decimated STFT: (..., Lp) -> (re, im) each (..., T, bins).
+
+    Frames at hop h with length n are the interleave of ``n/h`` phase
+    groups, each internally NON-overlapping -- so each group is a pure
+    reshape of a shifted signal and its transform is one full-depth
+    (t_ph, n) @ (n, 2*bins) matmul.  vs the hop-blocked form (above),
+    whose matmuls are only hop-deep: at the MSS loss's small scales
+    (n=64..256, hop 16..64) a 16-deep x 33-wide matmul fills a sliver of
+    the MXU while this form is 64-deep x 66-wide with identical MACs
+    (measured 2.6x on the n=64 scale, scripts/profile_mss.py).  The
+    phase outputs interleave back by a stack+reshape of the (small)
+    spectra; backward is slices/pads plus the transposed matmuls.
+    """
+    lp = xp.shape[-1]
+    n_frames = 1 + (lp - n_fft) // hop
+    k_ph = n_fft // hop
+    t_ph = -(-n_frames // k_ph)  # frames per phase group (padded)
+    need = (k_ph - 1) * hop + t_ph * n_fft
+    if need > lp:
+        xp = jnp.pad(xp, [(0, 0)] * (xp.ndim - 1) + [(0, need - lp)])
+    w = jnp.asarray(_hann_rdft_cat(n_fft))
+    if matmul_dtype is not None:
+        acc = functools.partial(jnp.matmul, preferred_element_type=jnp.float32)
+        w = w.astype(matmul_dtype)
+    else:
+        acc = _mm
+    outs = []
+    for p in range(k_ph):
+        seg = xp[..., p * hop : p * hop + t_ph * n_fft]
+        seg = seg.reshape(*seg.shape[:-1], t_ph, n_fft)
+        if matmul_dtype is not None:
+            seg = seg.astype(matmul_dtype)
+        outs.append(acc(seg, w))
+    cat = jnp.stack(outs, axis=-2)  # (..., t_ph, k_ph, 2*bins)
+    cat = cat.reshape(*cat.shape[:-3], t_ph * k_ph, cat.shape[-1])
+    cat = cat[..., :n_frames, :]
+    bins = n_fft // 2 + 1
+    return cat[..., :bins], cat[..., bins:]
+
+
+# STFT implementation switch.  'auto' == 'xla': the fused Pallas STFT
+# kernel (ops/pallas/stft.py) was built for the bf16 power-2 training
+# configuration and measured SLOWER than this hop-blocked XLA path at
+# EVERY MSS scale on the v5e (e.g. n=2048 fwd 0.322 vs 0.287 ms, n=64
+# 0.458 vs 0.187; full loss fwd+bwd 3.4 vs 1.8 ms — docs/PERFORMANCE.md
+# round 5): XLA pipelines the accumulation dots better than the hand
+# kernel, whose lane padding also inflates small-scale MACs (bins 33->128,
+# hop 16->128).  'pallas' keeps the kernel selectable for tests and
+# future-hardware re-evaluation (interpret mode off-TPU).
+_STFT_IMPL = "auto"
+
+
+def set_stft_impl(impl: str) -> None:
+    global _STFT_IMPL
+    assert impl in ("auto", "xla", "pallas"), impl
+    _STFT_IMPL = impl
+
+
 def spectrogram(
     x: jnp.ndarray, n_fft: int, hop: int, power: float = 2.0, matmul_dtype=None
 ) -> jnp.ndarray:
@@ -110,6 +184,20 @@ def spectrogram(
     the reference MSS loss (loss/mss_loss.py:23).  ``matmul_dtype`` casts
     the DFT matmul inputs (float32 accumulation) for loss-grade spectra.
     """
+    import jax
+
+    pallas_ok = (
+        power == 2.0
+        and matmul_dtype == jnp.bfloat16
+        and n_fft % hop == 0
+        and n_fft <= DIRECT_MAX
+    )
+    if pallas_ok and _STFT_IMPL == "pallas":
+        from ddsp_tpu.ops.pallas.stft import spectrogram_power_pallas
+
+        return spectrogram_power_pallas(
+            x, n_fft, hop, interpret=jax.default_backend() != "tpu"
+        )
     xp = reflect_pad(x, n_fft // 2)
     if n_fft % hop == 0 and xp.shape[-1] % hop == 0 and n_fft <= DIRECT_MAX:
         re, im = _spectrogram_hopblocked(xp, n_fft, hop, matmul_dtype)

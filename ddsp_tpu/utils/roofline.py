@@ -273,9 +273,10 @@ def reverb_bound_s(conf, b: int, length: int) -> float:
     """Speed-of-light seconds for the reverb fwd+bwd at its shipped
     precisions: forward at the DFT layer's DEFAULT-f32 rate; the two
     backward correlations (hand-written VJP, ops/fir.fft_convolve) at
-    ``conf.reverb_grad_matmul_dtype`` (shipped default float32 = exact
-    autodiff at the DEFAULT-f32 rate; the bf16 knob models full MXU rate
-    but was measured not to win and is off -- docs/PERFORMANCE.md round 4).
+    ``conf.reverb_grad_matmul_dtype`` (bf16 = full MXU rate, the round-5
+    default now that the permuted-spectrum CT removed the data movement
+    that made bf16 a wash in round 4; 'float32' = exact autodiff at the
+    DEFAULT-f32 rate).
     Each backward is the linear transpose of the forward with the other
     operand fixed, so d/dsignal and d/dkernel each cost ~one forward
     convolution class (the d/dkernel transpose recomputes the signal

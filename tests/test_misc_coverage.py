@@ -127,6 +127,8 @@ def test_train_step_bound_composition():
     params = decoder_init(jax.random.PRNGKey(0), conf)
     assert decoder_param_count(conf) == count_params(params)
 
+    conf_f32 = conf.replace(reverb_grad_matmul_dtype="float32")
     conf_bf = conf.replace(reverb_grad_matmul_dtype="bfloat16")
+    _, bd_f32 = train_step_bound_s(conf_f32, 16)
     _, bd_bf = train_step_bound_s(conf_bf, 16)
-    assert bd_bf["reverb_fft_mxu"] < breakdown["reverb_fft_mxu"]
+    assert bd_bf["reverb_fft_mxu"] < bd_f32["reverb_fft_mxu"]
