@@ -795,9 +795,17 @@ def _kernel_banked2_bwd(
     n_h: int,
     fill: str,
     resync_tiles: int,
+    contract_dtype=None,
 ):
     """Window-row backward: the three big contractions of _kernel_cheb_bwd
     with (ft+2)-row operands instead of 3ft (2.7x fewer MACs at ft=16).
+
+    ``contract_dtype`` (e.g. 'bfloat16') casts ONLY the three
+    contractions' operands (banks stay stored at ``bank_dtype``, the fill
+    is untouched, accumulation stays float32): one bf16 MXU pass instead
+    of DEFAULT-f32's three for the backward's gradient-grade dots
+    (round-4 VERDICT #6's A/B ask -- the round-3 bf16-BANK experiment
+    changed the fill's store dtype instead, which is why it lost).
 
     d a_win  = qw2 @ sin^T, where qw2's row r sums the window-k embeds of
     ql*w_k at frame r-k (each embed is block-diagonal, so the sum is three
@@ -834,15 +842,16 @@ def _kernel_banked2_bwd(
         return jnp.where(diag, jnp.broadcast_to(flat, (ft, length)), 0.0)
 
     bank_dtype = sin_ref.dtype
+    cd = jnp.dtype(contract_dtype) if contract_dtype is not None else bank_dtype
     zrow = jnp.zeros((1, length), jnp.float32)
     z2 = jnp.zeros((2, length), jnp.float32)
     qw2 = (
         jnp.concatenate([embed(ql * wl), z2], axis=0)
         + jnp.concatenate([zrow, embed(ql * wm), zrow], axis=0)
         + jnp.concatenate([z2, embed(ql * wr)], axis=0)
-    ).astype(bank_dtype)  # (ft+2, L)
-    sin_bank = sin_ref[:, :]
-    cos_bank = cos_ref[:, :]
+    ).astype(cd)  # (ft+2, L)
+    sin_bank = sin_ref[:, :].astype(cd)
+    cos_bank = cos_ref[:, :].astype(cd)
     da2 = jax.lax.dot_general(
         qw2, sin_bank, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -851,7 +860,7 @@ def _kernel_banked2_bwd(
     if hb < hp:
         da_win_ref[0, 0, :, hb:] = jnp.zeros((ft + 2, hp - hb), jnp.float32)
 
-    a_win = amps_win_ref[0, 0, :, :hb].astype(bank_dtype)  # (ft+2, hb)
+    a_win = amps_win_ref[0, 0, :, :hb].astype(cd)  # (ft+2, hb)
     h2 = jax.lax.dot_general(
         a_win, sin_bank, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -861,7 +870,7 @@ def _kernel_banked2_bwd(
         + 1.0
         + h0
     )
-    a_scaled = (a_win.astype(jnp.float32) * h_row).astype(bank_dtype)
+    a_scaled = (a_win.astype(jnp.float32) * h_row).astype(cd)
     p2 = jax.lax.dot_general(
         a_scaled, cos_bank, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -893,6 +902,7 @@ def _pallas_backward(
     impl: str = "banked",
     fill: str = "rot",
     resync_tiles: int = 8,
+    contract_dtype=None,
 ):
     b, t, hop = phase1.shape
     h = amps_pad.shape[-1]
@@ -939,6 +949,7 @@ def _pallas_backward(
         kernel = functools.partial(
             _kernel_banked2_bwd, ft=ft, hop=hop, hp=hp, hb=hb, n_h=h,
             fill=fill, resync_tiles=resync_tiles,
+            contract_dtype=contract_dtype,
         )
         win_spec = pl.BlockSpec(
             (1, 1, ft + 2, hp), lambda i, j: (i, j, 0, 0),
@@ -1058,6 +1069,18 @@ def _fwd(phase1, amps_pad, loud_pad, h0, frames_per_block):
     return out, (phase1, amps_pad, loud_pad, h0)
 
 
+# Backward contraction dtype for the production VJP: None keeps the
+# banks' f32 (DEFAULT-precision dots); 'bfloat16' runs the three
+# gradient dots at single-pass bf16 MXU rate (A/B'd on chip per round-4
+# VERDICT #6; see docs/PERFORMANCE.md round 5 for the adopt/reject call).
+_BWD_CONTRACT_DTYPE = None
+
+
+def set_osc_bwd_contract_dtype(dtype) -> None:
+    global _BWD_CONTRACT_DTYPE
+    _BWD_CONTRACT_DTYPE = dtype
+
+
 def _bwd(frames_per_block, residuals, g):
     phase1, amps_pad, loud_pad, h0 = residuals
     # The backward's block decomposition is independent of the forward's:
@@ -1066,6 +1089,7 @@ def _bwd(frames_per_block, residuals, g):
     dphase, damps, dloud = _pallas_backward(
         phase1, amps_pad, loud_pad, g, frames_per_block,
         impl="banked2", fill="rot", h_start=h0,
+        contract_dtype=_BWD_CONTRACT_DTYPE,
     )
     return dphase, damps, dloud, jnp.zeros_like(h0)
 

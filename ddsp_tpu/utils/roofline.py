@@ -95,7 +95,12 @@ def osc_speed_of_light_s(
     f = OSC_FILL_STORE_ISSUE_FACTOR if achievable else 1.0
     sol = f * 6 * fill / VPU_OPS + 2 * fwd_macs / MXU_F32_HIGHEST
     if backward:
-        sol += f * 8 * fill / VPU_OPS + 2 * bwd_macs / MXU_F32_DEFAULT
+        # Backward contractions run at the FULL bf16 MXU rate, not bf16x3:
+        # inside Mosaic, DEFAULT-precision f32 dots are a single bf16 pass
+        # (measured round 5: explicitly casting the three backward dots'
+        # operands to bf16 changes the amp gradient by EXACTLY zero and
+        # only adds conversion time -- scripts/ab_osc_bwd_contract.py).
+        sol += f * 8 * fill / VPU_OPS + 2 * bwd_macs / MXU_BF16
     return sol
 
 
