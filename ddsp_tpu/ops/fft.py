@@ -536,10 +536,13 @@ def rfft_convolve_same(
     -- the exact semantics of the reference's pad/crop ``fft_convolve``
     (reference: filtered_noise.py:25-32; see ops/fir.py).  Computed by a
     circular convolution at the next supported size >= L + kernel_len - 1
-    (no wraparound), sized for the matmul-FFT machinery.  Even batches of
-    large (Cooley-Tukey-sized) convolutions pack signal pairs into complex
-    FFTs for half the transform work, and long signals split into
-    overlap-save chunks when that lowers total matmul-FFT work.
+    (no wraparound), sized for the matmul-FFT machinery.  Large
+    (Cooley-Tukey-sized) convolutions with ONE shared kernel row take the
+    permuted-spectrum packed path (_rfft_convolve_large_shared: half the
+    transform work, no transposes or hermitian packing, any batch
+    parity); per-row kernels with even batches keep the hermitian packed
+    path; long signals split into overlap-save chunks when that lowers
+    total matmul-FFT work.
     """
     length = signal.shape[-1]
     n = next_fft_size(length + kernel_len - 1)

@@ -149,3 +149,66 @@ def test_overlap_save_adaptive_chunking(snr):
     # training shape's plan is unchanged by the adaptive cap (k=2 at the
     # 2 s example length -- keeps BENCH train-step numbers comparable)
     assert _overlap_save_plan(88064, 44100) == 2
+
+
+def test_ct_permuted_roundtrip_and_layout(snr):
+    """Permuted-spectrum CT (round 5): forward matches numpy's FFT under
+    the P[k1,k2] = X[k1 + n1*k2] permutation, and inverse(forward) is
+    identity -- the no-transpose convolution fast path's foundations."""
+    import jax.numpy as jnp
+
+    from ddsp_tpu.ops.fft import (
+        _ct_fwd_permuted,
+        _ct_inv_permuted,
+        _split_factors,
+    )
+
+    n = 6144
+    n1, n2 = _split_factors(n)
+    rng = np.random.default_rng(3)
+    xr = rng.standard_normal((3, n)).astype(np.float32)
+    xi = rng.standard_normal((3, n)).astype(np.float32)
+    pr, pi = _ct_fwd_permuted(jnp.asarray(xr), jnp.asarray(xi), n)
+    ref = np.fft.fft(xr + 1j * xi, axis=-1)
+    perm = ref.reshape(3, n2, n1).swapaxes(-1, -2)  # X[k1+n1*k2] -> [k1,k2]
+    got = np.asarray(pr) + 1j * np.asarray(pi)
+    assert np.abs(got - perm).max() / np.abs(ref).max() < 1e-5
+    yr, yi = _ct_inv_permuted(pr, pi, n)
+    assert np.abs(np.asarray(yr) - xr).max() < 1e-4
+    assert np.abs(np.asarray(yi) - xi).max() < 1e-4
+
+
+def test_convolve_shared_kernel_odd_batch(snr):
+    """Odd batches ride the shared-kernel packed path (zero-row pad)
+    instead of falling back to hermitian extension; overlap-save chunking
+    composes with it at the reverb shape class."""
+    import jax
+    import jax.numpy as jnp
+
+    from ddsp_tpu.ops.fft import rfft_convolve_same
+
+    rng = np.random.default_rng(11)
+    # odd batch, direct large-n path
+    sig = rng.standard_normal((3, 9000)).astype(np.float32)
+    ker = 0.1 * rng.standard_normal((1, 3000)).astype(np.float32)
+    got = np.asarray(rfft_convolve_same(jnp.asarray(sig), jnp.asarray(ker), 3000))
+    for i in range(3):
+        want = np.convolve(sig[i], ker[0])[:9000]
+        assert snr(want, got[i]) > 55.0
+    # overlap-save regime (kernel long relative to chunks), with gradient
+    sig2 = rng.standard_normal((2, 60000)).astype(np.float32)
+    ker2 = (
+        0.1 * rng.standard_normal((1, 20000)) * np.exp(-np.arange(20000) / 4000)
+    ).astype(np.float32)
+    got2 = np.asarray(
+        rfft_convolve_same(jnp.asarray(sig2), jnp.asarray(ker2), 20000)
+    )
+    for i in range(2):
+        want2 = np.convolve(sig2[i], ker2[0])[:60000]
+        assert snr(want2, got2[i]) > 55.0
+    gk = jax.grad(
+        lambda k: jnp.sum(
+            rfft_convolve_same(jnp.asarray(sig2), k, 20000) ** 2
+        )
+    )(jnp.asarray(ker2))
+    assert np.isfinite(np.asarray(gk)).all()
