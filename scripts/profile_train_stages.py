@@ -192,6 +192,17 @@ def main():
     )
     glue = measured["full_step"] - total_meas
     print(f"{'step minus stage sum':26s} {1e3*glue:9.3f}m  (glue / re-fusion)")
+    # A near-zero/negative stage marginal is physically impossible for a
+    # real chain -- it is the tunnel's documented spurious-early-completion
+    # mode hitting that chain (CLAUDE.md).  Flag it: the run's glue number
+    # is then mis-attributed and the run should be repeated.
+    suspect = [k for k, m in measured.items() if k != "full_step" and m < 5e-5]
+    if suspect:
+        print(
+            f"SUSPECT RUN: stage chains {suspect} returned ~0 marginal "
+            "(tunnel spurious-completion); repeat before trusting the "
+            "attribution"
+        )
 
 
 if __name__ == "__main__":
