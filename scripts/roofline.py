@@ -14,9 +14,11 @@ ops/spectral.py -- every count cites the code it models):
   - ONE MXU contraction (3ft, HB) x (HB, ft*hop) at Precision.HIGHEST
     (true-f32 passes ~= 1/6 of bf16 peak: each f32 operand splits into
     bf16 hi+lo and the product takes 6 MXU passes).
-* Oscillator backward (_kernel_cheb_bwd): sin+cos fill (~8 ops/element)
-  plus THREE contractions of the same (3ft, HB) x (HB, ft*hop) class at
-  DEFAULT precision (f32 inputs -> ~3 bf16 passes).
+* Oscillator backward: sin+cos fill (~8 ops/element) plus THREE
+  contractions of the (ft+2, HB) x (HB, ft*hop) class at Mosaic DEFAULT
+  precision -- measured round 5 to be a SINGLE bf16 MXU pass (not
+  bf16x3; scripts/ab_osc_bwd_contract.py), so the bound charges the
+  full bf16 rate.
 * MSS-loss STFTs (_spectrogram_hopblocked): per scale n, frames
   T_n = 1 + L/hop with hop = n/4; MACs = T_n * n * (n/2+1) * 2 (cos+sin
   Hann-rDFT matmuls), per signal; the loss does pred + target, backward
