@@ -205,6 +205,16 @@ def bench_train_step(conf):
         "fraction of composed stage bound",
         bound_s / dt,
     )
+    # The bound itself, so the artifact records when the denominator moves
+    # (round 5 tightened it 4.92 -> 4.29 ms: bf16 reverb gradients + the
+    # measured single-pass Mosaic DEFAULT rate for the osc backward); the
+    # fraction is only comparable across rounds at a fixed bound.
+    _emit(
+        "train_step_bound_ms",
+        1e3 * bound_s,
+        "ms (composed speed-of-light bound)",
+        1.0,
+    )
     # The production scan trainer (trainer.make_train_scan) precomputes the
     # target spectrograms once per dataset; the per-step loss then skips
     # the target-side STFTs (losses.mss_loss_per_scale_cached).  Measure
@@ -741,7 +751,8 @@ def main():
         ("synth_forward", lambda: bench_synth_forward(conf),
          ("synth_forward_samples_per_s_per_chip",)),
         ("train_step", lambda: bench_train_step(conf),
-         ("train_step_ms", "train_step_fraction_of_bound")),
+         ("train_step_ms", "train_step_fraction_of_bound",
+          "train_step_bound_ms")),
         ("stream_hop", lambda: bench_stream_hop(conf, crepe_params),
          ("stream_hop_ms",)),
         ("encode", lambda: bench_encode(conf, crepe_params),
