@@ -203,3 +203,26 @@ def test_cached_target_loss_matches_uncached():
         np.testing.assert_allclose(
             np.asarray(want[k]), np.asarray(got[k]), rtol=1e-6
         )
+
+
+def test_spectrogram_phased_matches_hopblocked():
+    """The phase-decimated STFT (built for the round-5 MSS study, measured
+    slower on the chip and NOT the default -- docs/PERFORMANCE.md) computes
+    the same spectra as the production hop-blocked form."""
+    import jax.numpy as jnp
+
+    from ddsp_tpu.ops.spectral import (
+        _spectrogram_hopblocked,
+        _spectrogram_phased,
+        reflect_pad,
+    )
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 8192)).astype(np.float32))
+    for n in (64, 1024):
+        xp = reflect_pad(x, n // 2)
+        r1, i1 = _spectrogram_hopblocked(xp, n, n // 4)
+        r2, i2 = _spectrogram_phased(xp, n, n // 4)
+        scale = float(np.abs(np.asarray(r1)).max())
+        np.testing.assert_allclose(np.asarray(r2), np.asarray(r1), rtol=0, atol=1e-5 * scale)
+        np.testing.assert_allclose(np.asarray(i2), np.asarray(i1), rtol=0, atol=1e-5 * scale)
