@@ -103,9 +103,15 @@ def marginal_chain_time(
         ts = {}
         for n in (lo, hi):
             t0 = time.perf_counter()
-            r = jax.block_until_ready(runs[n](*args))
+            # Force the VALUE inside the timed region: the tunnel can
+            # report spuriously-early completion for repeated runs of one
+            # executable even through block_until_ready (round-5 diagnosis,
+            # CLAUDE.md) -- fetching the scalar is the only reliable
+            # barrier, and its fixed round-trip cost cancels in the
+            # T_HI - T_LO marginal.
+            r = float(np.asarray(runs[n](*args)).ravel()[0])
             ts[n] = time.perf_counter() - t0
-            assert np.isfinite(float(np.asarray(r).ravel()[0]))
+            assert np.isfinite(r)
         times.append((ts[hi] - ts[lo]) / (hi - lo))
     return float(np.median(times[1:]))
 
