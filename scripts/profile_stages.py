@@ -70,8 +70,14 @@ def marginal_time(fn, x0, lo=LO, hi=HI):
         ts = {}
         for n in (lo, hi):
             t0 = time.perf_counter()
-            float(runs[n](x))
+            # float() forces the value INSIDE the timed region -- the
+            # tunnel can report spuriously-early completion for repeated
+            # runs of one executable even with varied inputs (CLAUDE.md,
+            # round-5 diagnosis); the fixed fetch cost cancels in the
+            # marginal.
+            v = float(runs[n](x))
             ts[n] = time.perf_counter() - t0
+            assert np.isfinite(v)
         per_iter.append((ts[hi] - ts[lo]) / (hi - lo))
     return float(np.median(per_iter[1:]))
 
