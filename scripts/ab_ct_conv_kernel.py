@@ -9,6 +9,11 @@ per-row pipeline fwd-CT -> spectrum multiply -> inv-CT inside one kernel
 (intermediates never leave VMEM) and races it against the XLA permuted
 pipeline at the same bf16 precision and shapes, BEFORE any VJP wiring.
 
+MEASURED OUTCOME (2026-08-22, adaptive value-forced harness): XLA
+0.096-0.097 ms vs Pallas 0.101 ms at 16 rows x 98304 -- a tie, with the
+XLA pipeline at ~0.85 MFU of the bf16 peak.  Nothing to fuse; rejected
+(docs/PERFORMANCE.md round 5).
+
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/ab_ct_conv_kernel.py
 """
 
@@ -158,7 +163,6 @@ def main():
                 return ss[-1]
             return many
 
-        rng2 = np.random.default_rng(99)
         def args_for_trial(trial):
             return (
                 zr * (1.0 + 1e-6 * trial),
